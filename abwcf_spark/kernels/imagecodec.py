@@ -1,0 +1,206 @@
+"""Image payload kernel: deterministic codecs + PSNR + perceptual hash.
+
+The graft's fetch payloads are image+caption rows
+(``BASELINE.json.input_hint``: image_id, bytes, w, h, fmt, caption, phash).
+This module provides everything the fetch-result consumer needs, pure
+numpy/zlib (this container has no PIL/libjpeg/libwebp):
+
+- ``gen_pixels``      — deterministic synthetic RGB pixels from image_id
+                        (seeded PCG64; smooth gradients + texture so lossy
+                        reconstruction error is realistic).
+- PNG                 — a REAL minimal PNG codec (8-bit RGB, zlib, filter 0
+                        on encode; filters 0-4 supported on decode).
+- ``jpeg``/``webp``   — STAND-IN deterministic lossy codec ("ABWL" container:
+                        per-channel quantization + zlib).  PIL/libjpeg are
+                        not available in this environment; the Spark-side
+                        plumbing (binary column, batch decode inside
+                        mapInPandas, PSNR validation) is real and tested,
+                        and the codec guarantees PSNR ≥ 40 dB like a
+                        high-quality JPEG would.
+- ``psnr``            — peak signal-to-noise ratio (dB) between two images.
+- ``phash64``         — 64-bit average-hash (8×8 block-mean, thresholded by
+                        the global mean), signed int64 like the corpus
+                        ``phash`` column.
+
+Validation contract (north rule / input_hint): decoded pixels vs reference
+pixels PSNR ≥ 40 dB for lossy ``fmt``, exact for png; caption checked by
+string equality on the Spark side.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .hashing import xxhash64_bytes
+
+LOSSY_PSNR_THRESHOLD_DB = 40.0
+_QUANT_STEP = 4  # lossy stand-in: max abs error 2 → PSNR ≈ 47 dB
+
+
+# --------------------------------------------------------------------------
+# Deterministic pixel synthesis
+# --------------------------------------------------------------------------
+
+def gen_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image for a given id — the 'reference
+    pixels' both the corpus generator and the validator derive from."""
+    seed = xxhash64_bytes(image_id.encode("utf-8")) & 0xFFFFFFFF
+    rng = np.random.Generator(np.random.PCG64(seed))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.empty((h, w, 3), dtype=np.float32)
+    fx, fy, ph = rng.uniform(0.5, 4.0, 3), rng.uniform(0.5, 4.0, 3), rng.uniform(0, 6.28, 3)
+    for c in range(3):
+        base[:, :, c] = (
+            127.5
+            + 80.0 * np.sin(fx[c] * xx / max(w, 1) * 6.283 + ph[c])
+            * np.cos(fy[c] * yy / max(h, 1) * 6.283)
+        )
+    noise = rng.integers(-12, 13, size=(h, w, 3)).astype(np.float32)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# PNG (real format, minimal subset)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)  # filter byte 0 per scanline
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("unsupported PNG subset")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    bpp = 3
+    out = np.empty((h, w * 3), dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need sequential recon
+            rec = np.empty(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# Lossy stand-in ("jpeg"/"webp") — deterministic quantizing container
+# --------------------------------------------------------------------------
+
+_LOSSY_MAGIC = b"ABWL"
+
+
+def encode_lossy(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = pixels.shape
+    q = (pixels.astype(np.int32) + _QUANT_STEP // 2) // _QUANT_STEP
+    q = np.clip(q, 0, 255 // _QUANT_STEP).astype(np.uint8)
+    payload = zlib.compress(q.tobytes(), 6)
+    fmtb = fmt.encode("ascii")[:4].ljust(4, b"\x00")
+    return _LOSSY_MAGIC + fmtb + struct.pack(">IIB", w, h, _QUANT_STEP) + payload
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _LOSSY_MAGIC:
+        raise ValueError("not an ABWL payload")
+    w, h, step = struct.unpack(">IIB", data[8:17])
+    q = np.frombuffer(zlib.decompress(data[17:]), dtype=np.uint8).reshape(h, w, 3)
+    return (q.astype(np.int32) * step).clip(0, 255).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    return encode_png(pixels) if fmt == "png" else encode_lossy(pixels, fmt)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:4] == _LOSSY_MAGIC:
+        return decode_lossy(data)
+    raise ValueError("unknown image container")
+
+
+# --------------------------------------------------------------------------
+# Metrics
+# --------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8×8 block-mean grayscale thresholded by mean."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                                xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
