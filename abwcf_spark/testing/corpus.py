@@ -1,0 +1,207 @@
+"""Deterministic synthetic crawl corpus generator (FIXTURES.md schemas).
+
+Generates, with a fixed seed, the three input tables the engine and the
+pure-Python oracle both consume:
+
+- ``corpus``  — one row per fetchable URL: image payload columns per
+  ``BASELINE.json.input_hint`` (image_id, bytes, w, h, fmt, caption, phash)
+  plus crawl-graph columns (status_code, content_type, redirect_to,
+  x_robots_tag, meta_robots, out_links).
+- ``robots``  — per-host robots.txt corpus (fetch_outcome + body).
+- ``seeds``   — seed URLs with a deterministic sequence number.
+
+Link graphs are binary-tree-ish per host (url j links to 2j+1, 2j+2) with
+deterministic cross-host edges and a sprinkling of dirty URLs that exercise
+the normalizer (uppercase, default ports, dot segments, userinfo, fragments,
+IDN, mailto, oversized), robots-disallowed paths, redirects, error statuses,
+nofollow headers/metas — every semantic in SURVEY.md §2.
+
+All randomness comes from xxhash64 of stable strings — no RNG state, so any
+row can be regenerated independently (this is also how the validator
+recomputes reference pixels at scale without a second copy of the data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.hashing import xxhash64_str
+from ..kernels.imagecodec import encode_image, gen_pixels, phash64
+
+FMTS = ("png", "jpeg", "webp")
+
+
+def _h(s: str) -> int:
+    """Stable non-negative hash for decision-making."""
+    return xxhash64_str(s) & 0x7FFFFFFFFFFFFFFF
+
+
+@dataclass
+class CorpusSpec:
+    n_hosts: int = 4
+    urls_per_host: int = 32
+    seed_hosts: int = 2
+    skew_host_frac: float = 0.0     # >0 → host 0 gets this fraction of all URLs
+    image_size: tuple[int, int] = (24, 16)
+    dirty_link_rate: int = 5        # every Nth page emits a dirty link
+    redirect_rate: int = 11         # every Nth page is a 3xx
+    error_rate: int = 13            # every Nth page is 4xx/5xx
+    nofollow_rate: int = 17         # every Nth page carries nofollow
+    cross_host_rate: int = 3        # every Nth page links cross-host
+    unavailable_hosts: tuple[int, ...] = ()   # robots 4xx → ALLOW_ALL
+    unreachable_hosts: tuple[int, ...] = ()   # robots 5xx → ALLOW_NONE
+    crawl_delays: dict[int, float] = field(default_factory=dict)  # host idx → seconds
+    with_images: bool = True        # False skips byte payloads (fast graph-only tests)
+
+
+def host_name(i: int) -> str:
+    return f"https://h{i}.example"
+
+
+def page_url(host_idx: int, j: int) -> str:
+    return f"{host_name(host_idx)}/p/{j}"
+
+
+def _urls_per_host(spec: CorpusSpec) -> list[int]:
+    total = spec.n_hosts * spec.urls_per_host
+    if spec.skew_host_frac <= 0:
+        return [spec.urls_per_host] * spec.n_hosts
+    big = int(total * spec.skew_host_frac)
+    rest = max(1, (total - big) // max(1, spec.n_hosts - 1))
+    return [big] + [rest] * (spec.n_hosts - 1)
+
+
+def _dirty_link(host_idx: int, j: int) -> str:
+    """Dirty-but-normalizable (or droppable) link variants."""
+    variants = [
+        f"HTTPS://H{host_idx}.EXAMPLE/p/{j + 1}",            # case folding
+        f"https://h{host_idx}.example:443/p/{j + 1}",        # default port
+        f"https://h{host_idx}.example/p/../p/{j + 1}",       # dot segments
+        f"https://user:pw@h{host_idx}.example/p/{j + 1}",    # userinfo
+        f"https://h{host_idx}.example/p/{j + 1}#frag",       # fragment
+        "mailto:someone@example.com",                        # non-http (dropped)
+        "https://😃.example/" + "x" * 3000,                  # oversize (dropped)
+        f"https://h{host_idx}.example//p//{j + 1}",          # duplicate slashes
+    ]
+    return variants[_h(f"dirty|{host_idx}|{j}") % len(variants)]
+
+
+def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
+    per_host = _urls_per_host(spec)
+    rows = []
+    w0, h0 = spec.image_size
+    for hi in range(spec.n_hosts):
+        n = per_host[hi]
+        for j in range(n):
+            url = page_url(hi, j)
+            image_id = f"img-{hi}-{j}"
+            hv = _h(url)
+            w = w0 + (hv % 9)
+            h = h0 + ((hv >> 8) % 7)
+            fmt = FMTS[hv % 3]
+            is_redirect = spec.redirect_rate and j % spec.redirect_rate == spec.redirect_rate - 1
+            is_error = spec.error_rate and j % spec.error_rate == spec.error_rate - 1 and not is_redirect
+            status = 200
+            redirect_to = None
+            if is_redirect:
+                status = 301 if hv % 2 == 0 else 302
+                # relative redirect (exercises resolve semantics), same depth
+                redirect_to = f"/p/{(j * 7 + 1) % n}"
+            elif is_error:
+                status = 404 if hv % 2 == 0 else 503
+            # out links: binary tree + cross-host + dirty + disallowed
+            links: list[str] = []
+            if status == 200:
+                for child in (2 * j + 1, 2 * j + 2):
+                    if child < n:
+                        links.append(page_url(hi, child))
+                if spec.cross_host_rate and j % spec.cross_host_rate == 0 and spec.n_hosts > 1:
+                    links.append(page_url((hi + 1 + hv % (spec.n_hosts - 1)) % spec.n_hosts,
+                                          (j * 3) % per_host[(hi + 1 + hv % (spec.n_hosts - 1)) % spec.n_hosts]))
+                if spec.dirty_link_rate and j % spec.dirty_link_rate == 2:
+                    links.append(_dirty_link(hi, j))
+                if j % 7 == 3:
+                    links.append(f"{host_name(hi)}/private/{j}")  # robots-disallowed path
+            nofollow = spec.nofollow_rate and j % spec.nofollow_rate == spec.nofollow_rate - 1
+            if spec.with_images and status == 200:
+                px = gen_pixels(image_id, w, h)
+                payload = encode_image(px, fmt)
+                ph = phash64(px)
+            else:
+                payload, ph = None, 0
+            rows.append(
+                dict(
+                    url=url,
+                    image_id=image_id,
+                    bytes=payload,
+                    w=w,
+                    h=h,
+                    fmt=fmt,
+                    caption=f"caption of {image_id}: deterministic text {hv % 1000}",
+                    phash=ph,
+                    status_code=status,
+                    content_type="text/html" if (status == 200 and j % 2 == 0) or links else
+                                 ("image/" + fmt if status == 200 else "text/plain"),
+                    redirect_to=redirect_to,
+                    x_robots_tag="noindex, nofollow" if (nofollow and hv % 2 == 0) else None,
+                    meta_robots="nofollow" if (nofollow and hv % 2 == 1) else None,
+                    out_links=links,
+                )
+            )
+    corpus = pd.DataFrame(rows)
+
+    robots_rows = []
+    for hi in range(spec.n_hosts):
+        sa = host_name(hi)
+        if hi in spec.unavailable_hosts:
+            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unavailable", robots_body=None))
+        elif hi in spec.unreachable_hosts:
+            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unreachable", robots_body=None))
+        else:
+            delay = spec.crawl_delays.get(hi, 1.0)
+            body = (
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                f"Crawl-delay: {delay}\n"
+            )
+            if hi % 3 == 1:
+                body += "Allow: /private/open/\nDisallow: /*.bin$\n"
+            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="ok", robots_body=body))
+    robots = pd.DataFrame(robots_rows)
+
+    seeds = pd.DataFrame(
+        [
+            dict(url=page_url(hi, 0), seq=hi)
+            for hi in range(min(spec.seed_hosts, spec.n_hosts))
+        ]
+    )
+    return {"corpus": corpus, "robots": robots, "seeds": seeds}
+
+
+# canonical fixture specs (FIXTURES.md §Scale points)
+T1_MICRO = CorpusSpec(n_hosts=1, urls_per_host=10, seed_hosts=1)
+T2_MULTI = CorpusSpec(
+    n_hosts=8,
+    urls_per_host=64,
+    seed_hosts=3,
+    unavailable_hosts=(5,),
+    unreachable_hosts=(6,),
+    crawl_delays={2: 2.0, 3: 0.5},
+)
+T2_SKEW = CorpusSpec(
+    n_hosts=8, urls_per_host=256, seed_hosts=4, skew_host_frac=0.9
+)
+
+
+def bench_spec(n_hosts: int = 256, urls_per_host: int = 400) -> CorpusSpec:
+    return CorpusSpec(
+        n_hosts=n_hosts,
+        urls_per_host=urls_per_host,
+        seed_hosts=n_hosts,
+        with_images=False,
+        cross_host_rate=3,
+        crawl_delays={},
+    )
