@@ -1,0 +1,415 @@
+"""The PySpark-native crawl engine: deterministic micro-batch round loop.
+
+This is the top-level re-expression of ABWCF's actor topology
+(``/root/reference/src/main/scala/abwcf/actors/Crawler.scala:40-145``) as a
+driver-side round loop over three DataFrames:
+
+- ``frontier``   — the pages table (url-keyed, 10^10-row design point;
+                   SlickPageRepository.scala:21 schema + lineage columns),
+- ``hosts``      — robots rules + politeness gates (1 row/host, broadcast),
+- ``candidates`` — the transient per-round discovery set.
+
+One round = one synchronous barrier replacing all actor mailbox hops:
+
+    candidates → normalize → url-filter → in-round dedup → URL-seen
+    (bloom + anti-join) → lenient robots → robots refresh → insert
+    (strict robots sets Discovered|Disallowed) → politeness window-rank
+    → fetch-join payloads → parse/emit → MERGE statuses → next round
+
+Determinism: every ordering-sensitive output (fetch_order, child seq) comes
+from explicit sorts/windows, never partition order, so the engine reproduces
+the pure-Python oracle (testing/oracle.py) bit-for-bit — crawl order, final
+URL-seen membership, priorities, depths.
+
+Durability: every ``checkpoint_interval`` rounds the three tables + bloom +
+a manifest (round, fetch_seq, metrics) are snapshotted to
+``checkpoint_dir/round=N`` (round-numbered snapshots ≙ Iceberg snapshot ids
+— SURVEY.md §3.3).  ``resume=True`` restarts from the newest complete
+manifest; a killed run resumes byte-identically (north_rule), verified in
+``tests/test_resume.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import STATUS_DISCOVERED, CrawlConfig
+from ..kernels.bloom import BloomFilter
+from ..operators.round_ops import (
+    advance_gates,
+    assign_fetch_order,
+    dedup_in_round,
+    fetch_and_emit,
+    host_budgets,
+    insert_rows,
+    lenient_robots_filter,
+    merge_fetch_statuses,
+    politeness_select,
+    robots_refresh,
+    url_filter_predicate,
+    url_seen_filter,
+    with_host,
+)
+from ..operators.udfs import (
+    PAYLOAD_CHECK_SCHEMA,
+    make_bloom_probe_udf,
+    make_host_outcome_udf,
+    make_normalize_udf,
+    resolve_redirect_udf,
+    robots_allowed_udf,
+    validate_payload_batches,
+)
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash long, host string, status string, crawl_depth int, "
+    "crawl_priority long, discovered_round int, fetched_round int, "
+    "fetch_order long, partition_id int"
+)
+HOSTS_SCHEMA = (
+    "scheme_and_authority string, rule_mode string, robot_rules string, "
+    "crawl_delay long, valid_until long, next_free_ms long"
+)
+CANDIDATES_SCHEMA = "url string, crawl_depth int, seq long"
+
+
+@dataclass
+class CrawlResult:
+    frontier: DataFrame
+    hosts: DataFrame
+    rounds: int
+    fetch_seq: int
+    metrics: list = field(default_factory=list)
+    payload_failures: int = 0
+
+    def frontier_pdf(self):
+        """Sorted pandas frontier (minus lineage cols) for oracle comparison."""
+        return (
+            self.frontier.drop("partition_id")
+            .orderBy("url")
+            .toPandas()
+        )
+
+    def crawl_order(self) -> list:
+        rows = (
+            self.frontier.where(F.col("fetch_order").isNotNull())
+            .select("fetch_order", "url")
+            .orderBy("fetch_order")
+            .collect()
+        )
+        return [(int(r.fetch_order), r.url) for r in rows]
+
+
+class SparkCrawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        robots_corpus: DataFrame,
+        cfg: CrawlConfig = CrawlConfig(),
+        checkpoint_dir: str | None = None,
+        checkpoint_interval: int = 5,
+        bloom_capacity: int = 1 << 20,
+        bloom_fpp: float = 0.01,
+        use_bloom: bool = True,
+        n_salts: int = 0,
+        validate_payloads: bool = False,
+        collect_metrics: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.corpus = corpus
+        self.robots_corpus = robots_corpus
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_interval = checkpoint_interval
+        self.use_bloom = use_bloom
+        self.bloom = (
+            BloomFilter.for_capacity(bloom_capacity, bloom_fpp) if use_bloom else None
+        )
+        self.n_salts = n_salts
+        self.validate_payloads = validate_payloads
+        self.collect_metrics = collect_metrics
+
+        self.round_ms = int(cfg.round_seconds * 1000)
+        self.work_dir = checkpoint_dir or tempfile.mkdtemp(prefix="abwcf-rounds-")
+        self._parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+        self._normalize_udf = make_normalize_udf(cfg)
+        self._host_outcome_udf = make_host_outcome_udf(cfg)
+
+        self.frontier: DataFrame = spark.createDataFrame([], FRONTIER_SCHEMA)
+        self.hosts: DataFrame = spark.createDataFrame([], HOSTS_SCHEMA)
+        self.candidates: DataFrame = spark.createDataFrame([], CANDIDATES_SCHEMA)
+        self.rnd = 0
+        self.fetch_seq = 0
+        self.metrics: list[dict] = []
+        self.payload_failures = 0
+        self._bloom_bc = None
+
+    # ------------------------------------------------------------------ run
+    def seed(self, seeds: DataFrame) -> None:
+        """O1 (Crawler.scala:156-159): seeds enter as depth-0 candidates with
+        their list position as the deterministic discovery sequence."""
+        self.candidates = seeds.select(
+            F.col("url").cast("string"),
+            F.lit(0).cast("int").alias("crawl_depth"),
+            F.col("seq").cast("long"),
+        )
+
+    def run(
+        self,
+        seeds: DataFrame | None = None,
+        resume: bool = False,
+        stop_after_round: int | None = None,
+        max_rounds: int | None = None,
+    ) -> CrawlResult:
+        if resume:
+            self._restore()
+        elif seeds is not None:
+            self.seed(seeds)
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        done = False
+        while self.rnd < limit and not done:
+            done = self._step()
+            if self.checkpoint_dir and (
+                self.rnd % self.checkpoint_interval == 0 or done
+            ):
+                self._checkpoint()
+            if stop_after_round is not None and self.rnd > stop_after_round:
+                break
+        if self.checkpoint_dir and not done and stop_after_round is None:
+            self._checkpoint()
+        return CrawlResult(
+            self.frontier,
+            self.hosts,
+            self.rnd,
+            self.fetch_seq,
+            self.metrics,
+            self.payload_failures,
+        )
+
+    # ----------------------------------------------------------------- step
+    def _mat(self, df: DataFrame, parts: int | None = None) -> DataFrame:
+        """Materialize an intermediate reused by several actions within the
+        round: eager localCheckpoint flattens the plan, so downstream
+        actions neither re-analyze the round DAG nor re-execute its
+        broadcast exchanges (lazy persist measured ~40% slower per round for
+        exactly that reason).  Cross-round state never flows through here —
+        _commit_round's parquet snapshot is the round boundary (and resets
+        Catalyst size stats, see there)."""
+        return df.localCheckpoint(eager=True)
+
+    def _step(self) -> bool:
+        cfg, rnd = self.cfg, self.rnd
+        now_ms = rnd * self.round_ms
+        m: dict = {"round": rnd}
+        if self.collect_metrics:
+            m["candidates"] = self.candidates.count()
+
+        # O2 normalize + O3 filter (pandas UDF + Catalyst predicates)
+        cand = (
+            self.candidates.withColumn("_norm", self._normalize_udf(F.col("url")))
+            .where(F.col("_norm").isNotNull())
+            .select(F.col("_norm").alias("url"), "crawl_depth", "seq")
+        )
+        cand = cand.where(url_filter_predicate(cfg, F.col("url")))
+        if self.collect_metrics:
+            cand = self._mat(cand)
+            m["normalized"] = cand.count()
+
+        # O4/O5 dedup: in-round first-discovery-wins + URL-seen
+        cand = dedup_in_round(cand)
+        probe = None
+        if self.bloom is not None and self.bloom.n_added > 0:
+            probe, self._bloom_bc = make_bloom_probe_udf(self.spark, self.bloom)
+        cand = url_seen_filter(cand, self.frontier, probe)
+        if self.collect_metrics:
+            cand = self._mat(cand)
+            m["new_urls"] = cand.count()
+
+        # O7 lenient robots (fail-open, hosts as of round start)
+        cand = with_host(cand)
+        cand = lenient_robots_filter(cand, self.hosts, now_ms, robots_allowed_udf)
+        cand = self._mat(cand)
+        if self.collect_metrics:
+            m["lenient_passed"] = cand.count()
+
+        # O16/O17 robots refresh for missing/expired candidate hosts
+        hosts_valid = self.hosts.where(F.col("valid_until") > F.lit(now_ms))
+        need = cand.select("host").distinct().join(
+            hosts_valid.select(F.col("scheme_and_authority").alias("host")),
+            "host",
+            "left_anti",
+        )
+        refreshed = self._mat(
+            robots_refresh(
+                need, self.hosts, self.robots_corpus, now_ms, self._host_outcome_udf
+            )
+        )
+        if self.collect_metrics:
+            m["robots_fetched"] = refreshed.count()
+        hosts_next = self.hosts.join(
+            refreshed.select("scheme_and_authority"), "scheme_and_authority", "left_anti"
+        ).unionByName(refreshed)
+
+        # O5/O6 insert with strict-robots status
+        new_rows = self._mat(
+            insert_rows(cand, hosts_next, rnd, cfg, robots_allowed_udf)
+        )
+        if self.bloom is not None:
+            hashes = new_rows.select("url_hash").toPandas()["url_hash"].to_numpy()
+            self.bloom.add_hashes(hashes)
+            m["inserted"] = int(len(hashes))
+        elif self.collect_metrics:
+            m["inserted"] = new_rows.count()
+        if self.collect_metrics:
+            m["disallowed"] = new_rows.where(
+                F.col("status") != STATUS_DISCOVERED
+            ).count()
+        frontier = self.frontier.unionByName(new_rows)
+
+        # O8 politeness: budgets + salted window-rank + global fetch order
+        budgets = host_budgets(hosts_next, rnd, self.round_ms,
+                               cfg.max_fetches_per_host_per_round)
+        discovered = frontier.where(F.col("status") == STATUS_DISCOVERED).select(
+            "url", "host", "crawl_priority", "crawl_depth"
+        )
+        sel = politeness_select(discovered, budgets, self.n_salts)
+        sel = assign_fetch_order(sel, self.fetch_seq)
+        sel = self._mat(
+            sel.select("url", "host", "crawl_depth", "rank", "fetch_order")
+        )
+        n_fetched = sel.count()
+        m["fetched"] = n_fetched
+
+        # gate advance for hosts that fetched
+        fetched_counts = sel.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+        hosts_next2 = advance_gates(hosts_next, fetched_counts, rnd, self.round_ms)
+
+        # O10-O14 fetch + parse/emit; O15 payload validation
+        fetched, emitted = fetch_and_emit(sel, self.corpus, cfg, resolve_redirect_udf)
+        if self.validate_payloads and n_fetched:
+            checks = (
+                fetched.where(
+                    (F.col("status_code") == 200)
+                    & F.col("bytes").isNotNull()
+                    & (F.length("bytes") <= F.lit(cfg.max_content_length))
+                )
+                .select("url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash")
+                .mapInPandas(validate_payload_batches, PAYLOAD_CHECK_SCHEMA)
+            )
+            self.payload_failures += checks.where(~F.col("payload_ok")).count()
+
+        # O5/O18 status MERGE
+        frontier_next = merge_fetch_statuses(frontier, sel, rnd)
+
+        # commit round state: durable parquet snapshot per round (the
+        # Iceberg-commit analogue).  This, not localCheckpoint, is load-
+        # bearing: localCheckpoint preserves the origin plan's size stats,
+        # and Catalyst's SizeInBytesOnlyStatsPlanVisitor estimates a join as
+        # the PRODUCT of child sizes — compounding across rounds produced
+        # million-digit BigInt stats whose arithmetic dominated round time.
+        # A parquet round-trip resets stats to true on-disk sizes, truncates
+        # the plan, and bounds partition counts via maxPartitionBytes.
+        self.rnd = rnd + 1
+        self.fetch_seq += n_fetched
+        self._commit_round(frontier_next, hosts_next2, emitted)
+        n_emitted = self.candidates.count()
+        m["emitted"] = n_emitted
+        self.metrics.append(m)
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+            self._bloom_bc = None
+
+        if n_emitted == 0:
+            remaining = self.frontier.where(
+                F.col("status") == STATUS_DISCOVERED
+            ).isEmpty()
+            if remaining:
+                return True
+        return False
+
+    # ----------------------------------------------------------- durability
+    def _snap_dir(self, rnd: int) -> str:
+        return os.path.join(self.work_dir, f"round={rnd:06d}")
+
+    def _commit_round(self, frontier: DataFrame, hosts: DataFrame,
+                      candidates: DataFrame) -> None:
+        d = self._snap_dir(self.rnd)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        frontier.coalesce(self._parts).write.parquet(os.path.join(d, "frontier"))
+        hosts.coalesce(min(self._parts, 4)).write.parquet(os.path.join(d, "hosts"))
+        candidates.coalesce(self._parts).write.parquet(os.path.join(d, "candidates"))
+        self._reload_from(d)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Drop older snapshots that never got a manifest (incomplete /
+        work-only rounds); manifested snapshots are the durable history."""
+        cur = f"round={self.rnd:06d}"
+        for e in os.listdir(self.work_dir):
+            full = os.path.join(self.work_dir, e)
+            if (
+                e.startswith("round=")
+                and e < cur
+                and not os.path.exists(os.path.join(full, "manifest.json"))
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def _checkpoint(self) -> None:
+        """Stamp the current round snapshot as durable: bloom state +
+        manifest (manifest written last → a snapshot without manifest.json
+        is incomplete and ignored by resume)."""
+        d = self._snap_dir(self.rnd)
+        os.makedirs(d, exist_ok=True)
+        if self.bloom is not None:
+            with open(os.path.join(d, "bloom.bin"), "wb") as f:
+                f.write(self.bloom.to_bytes())
+        manifest = dict(
+            round=self.rnd,
+            fetch_seq=self.fetch_seq,
+            payload_failures=self.payload_failures,
+            metrics=self.metrics,
+            use_bloom=self.bloom is not None,
+        )
+        tmp = os.path.join(d, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+
+    def _reload_from(self, d: str) -> None:
+        self.frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
+        self.hosts = self.spark.read.parquet(os.path.join(d, "hosts"))
+        self.candidates = self.spark.read.parquet(os.path.join(d, "candidates"))
+
+    def latest_snapshot(self) -> str | None:
+        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+            return None
+        snaps = sorted(
+            e for e in os.listdir(self.checkpoint_dir)
+            if e.startswith("round=")
+            and os.path.exists(os.path.join(self.checkpoint_dir, e, "manifest.json"))
+        )
+        return os.path.join(self.checkpoint_dir, snaps[-1]) if snaps else None
+
+    def _restore(self) -> None:
+        d = self.latest_snapshot()
+        if d is None:
+            raise FileNotFoundError(f"no complete snapshot under {self.checkpoint_dir}")
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        self.rnd = int(manifest["round"])
+        self.fetch_seq = int(manifest["fetch_seq"])
+        self.payload_failures = int(manifest.get("payload_failures", 0))
+        self.metrics = list(manifest.get("metrics", []))
+        bloom_path = os.path.join(d, "bloom.bin")
+        if manifest.get("use_bloom") and os.path.exists(bloom_path):
+            with open(bloom_path, "rb") as f:
+                self.bloom = BloomFilter.from_bytes(f.read())
+        self._reload_from(d)

@@ -1,0 +1,385 @@
+"""The re-expressed ABWCF pipeline stages as composable DataFrame operators.
+
+Each function is one operator from SURVEY.md §2 (O1-O19), written so that
+Catalyst keeps the hot path JVM-side: filters/projections/joins/windows are
+built-ins; pandas UDFs appear only where semantics demand them (normalize,
+robots match, robots parse, redirect resolve, payload decode).
+
+Scale notes (10^10-URL frontier design point):
+- the frontier is only ever touched by column-pruned scans (`url` for the
+  anti-join probe, politeness columns for selection) — payload bytes live in
+  a separate table and are joined in only for the round's fetch set;
+- the hosts table (1 row/host) is broadcast-joined;
+- politeness selection is a per-host top-k: an optional salted pre-rank pass
+  (`n_salts`) bounds any single window partition to ~1/n_salts of a hot
+  host's rows before the exact per-host rank — correct because the per-host
+  top-B is contained in the union of per-salt top-Bs;
+- fetch-order assignment never uses a global single-partition window over
+  URLs: ranks are per-host (parallel), and only the per-host *counts* (one
+  row per active host) go through an ordered prefix-sum window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    STATUS_DISALLOWED,
+    STATUS_DISCOVERED,
+    STATUS_PROCESSED,
+    CrawlConfig,
+)
+
+# scheme + authority of a normalized URL (UrlUtils.scala:12-15) — pure Catalyst
+HOST_REGEX = r"^([^:/?#]+://[^/?#]*)"
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("host", F.regexp_extract(F.col(url_col), HOST_REGEX, 1))
+
+
+# -- O3: URL filter (pure Catalyst predicates, UrlFilter.scala:36-44) --------
+
+def url_filter_predicate(cfg: CrawlConfig, url_col: Column) -> Column:
+    pred = F.length(url_col) <= F.lit(cfg.max_url_length)
+    must = None
+    for p in cfg.must_match:
+        c = url_col.rlike(f"^(?:{p})$")
+        must = c if must is None else (must | c)
+    if must is not None:
+        pred = pred & must
+    for p in cfg.must_not_match:
+        pred = pred & ~url_col.rlike(f"^(?:{p})$")
+    return pred
+
+
+# -- O4/O5 first half: in-round first-discovery-wins dedup -------------------
+# (PageManager.scala:107 — repeat Discover is a no-op; deterministic winner =
+# lexicographically-least (crawl_depth, seq))
+
+def dedup_in_round(cand: DataFrame) -> DataFrame:
+    return (
+        cand.groupBy("url")
+        .agg(F.min(F.struct("crawl_depth", "seq")).alias("_ds"))
+        .select("url", F.col("_ds.crawl_depth").alias("crawl_depth"),
+                F.col("_ds.seq").alias("seq"))
+    )
+
+
+# -- O4/O5 second half: URL-seen (bloom fast path + exact anti-join) ---------
+
+def url_seen_filter(
+    cand: DataFrame, frontier: DataFrame, bloom_probe=None
+) -> DataFrame:
+    """Drop candidates already in the frontier (exact dedup at PageManager
+    identity, UrlDeduplicator.scala:13 / PageManager.scala:19).
+
+    With a bloom probe: rows probing negative are *provably* new and skip the
+    anti-join; positives go through the anti-join (the authority), so the
+    bloom can never false-drop.  The anti-join's frontier side is a
+    single-column (url) scan — column pruning keeps it narrow.
+    """
+    seen_urls = frontier.select("url")
+    if bloom_probe is None:
+        return cand.join(seen_urls, "url", "left_anti")
+    probed = cand.withColumn("_maybe", bloom_probe(F.xxhash64("url")))
+    fresh = probed.where(~F.col("_maybe")).drop("_maybe")
+    maybe = probed.where(F.col("_maybe")).drop("_maybe")
+    return fresh.unionByName(maybe.join(seen_urls, "url", "left_anti"))
+
+
+# -- O7: lenient robots filter (fail-open broadcast semi-join) ---------------
+
+def lenient_robots_filter(
+    cand: DataFrame, hosts: DataFrame, now_ms: int, robots_allowed_udf
+) -> DataFrame:
+    """LenientRobotsFilter.scala:66-118: known+unexpired rules → test;
+    unknown/expired → pass unfiltered (fail-open)."""
+    hosts_valid = hosts.where(F.col("valid_until") > F.lit(now_ms)).select(
+        F.col("scheme_and_authority").alias("host"), "rule_mode", "robot_rules"
+    )
+    j = cand.join(F.broadcast(hosts_valid), "host", "left")
+    allowed = robots_allowed_udf(F.col("url"), F.col("rule_mode"), F.col("robot_rules"))
+    return (
+        j.where(F.coalesce(allowed, F.lit(True)))
+        .drop("rule_mode", "robot_rules")
+    )
+
+
+# -- O16/O17: robots refresh for missing/expired candidate hosts -------------
+
+def robots_refresh(
+    need_hosts: DataFrame,          # (host)
+    hosts: DataFrame,
+    robots_corpus: DataFrame,       # (scheme_and_authority, fetch_outcome, robots_body)
+    now_ms: int,
+    host_outcome_udf,
+) -> DataFrame:
+    """→ refreshed host rows (full hosts schema incl. preserved next_free_ms).
+
+    HostManager.scala:110-167: ok → parse+clamp (24 h), unavailable/missing →
+    ALLOW_ALL 24 h, unreachable → ALLOW_NONE 1 h *unless* expired rules exist,
+    which are reused with a 1 h validity bump (:149-154).
+    """
+    from ..kernels.robots import UNREACHABLE_RULES_LIFETIME_S
+
+    old = hosts.select(
+        F.col("scheme_and_authority").alias("host"),
+        F.col("rule_mode").alias("_old_mode"),
+        F.col("robot_rules").alias("_old_rules"),
+        F.col("crawl_delay").alias("_old_delay"),
+        F.col("next_free_ms").alias("_old_gate"),
+    )
+    rb = robots_corpus.select(
+        F.col("scheme_and_authority").alias("host"),
+        "fetch_outcome",
+        "robots_body",
+    )
+    j = (
+        need_hosts.join(F.broadcast(rb), "host", "left")
+        .join(F.broadcast(old), "host", "left")
+        .withColumn("_outcome", F.coalesce(F.col("fetch_outcome"), F.lit("unavailable")))
+    )
+    parsed = j.withColumn(
+        "_new", host_outcome_udf(F.col("_outcome"), F.col("robots_body"))
+    )
+    reuse = (F.col("_outcome") == "unreachable") & F.col("_old_mode").isNotNull()
+    return parsed.select(
+        F.col("host").alias("scheme_and_authority"),
+        F.when(reuse, F.col("_old_mode")).otherwise(F.col("_new.rule_mode")).alias("rule_mode"),
+        F.when(reuse, F.col("_old_rules")).otherwise(F.col("_new.robot_rules")).alias("robot_rules"),
+        F.when(reuse, F.col("_old_delay")).otherwise(F.col("_new.crawl_delay")).alias("crawl_delay"),
+        F.when(reuse, F.lit(now_ms + UNREACHABLE_RULES_LIFETIME_S * 1000))
+        .otherwise(F.lit(now_ms) + F.col("_new.lifetime_s") * 1000)
+        .cast("long")
+        .alias("valid_until"),
+        F.coalesce(F.col("_old_gate"), F.lit(0)).cast("long").alias("next_free_ms"),
+    )
+
+
+# -- O6 + O5: priority assignment + frontier insert rows ---------------------
+
+def priority_column(cfg: CrawlConfig) -> Column:
+    """Deterministic prioritizer (PrioritizationFunctions.scala:11-24; the
+    reference default ThreadLocalRandom is irreproducible — SURVEY.md §7.1)."""
+    if cfg.prioritizer == "xxhash64":
+        return F.xxhash64(F.col("url"))
+    if cfg.prioritizer == "breadth_first":
+        return (-F.col("crawl_depth")).cast("long")
+    if cfg.prioritizer == "depth_first":
+        return F.col("crawl_depth").cast("long")
+    raise ValueError(cfg.prioritizer)
+
+
+def insert_rows(
+    cand: DataFrame, hosts: DataFrame, rnd: int, cfg: CrawlConfig, robots_allowed_udf
+) -> DataFrame:
+    """Frontier insert with strict-robots status (StrictRobotsFilter.scala:
+    72-133 — rules are guaranteed present post-refresh; disallowed rows are
+    URL-seen but marked Disallowed, never fetched)."""
+    h = hosts.select(
+        F.col("scheme_and_authority").alias("host"), "rule_mode", "robot_rules"
+    )
+    j = cand.join(F.broadcast(h), "host", "left")
+    allowed = F.coalesce(
+        robots_allowed_udf(F.col("url"), F.col("rule_mode"), F.col("robot_rules")),
+        F.lit(True),
+    )
+    return j.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "host",
+        F.when(allowed, F.lit(STATUS_DISCOVERED))
+        .otherwise(F.lit(STATUS_DISALLOWED))
+        .alias("status"),
+        F.col("crawl_depth").cast("int").alias("crawl_depth"),
+        priority_column(cfg).alias("crawl_priority"),
+        F.lit(rnd).alias("discovered_round"),
+        F.lit(None).cast("int").alias("fetched_round"),
+        F.lit(None).cast("long").alias("fetch_order"),
+        F.spark_partition_id().alias("partition_id"),
+    )
+
+
+# -- O8: per-host politeness budgets + salted window-rank selection ----------
+
+def host_budgets(hosts: DataFrame, rnd: int, round_ms: int, cap: int) -> DataFrame:
+    """Vectorized form of kernels/politeness.budget_for_round over the hosts
+    table (HostQueue.scala:128-141 delay gate, discretized to the round)."""
+    start = F.greatest(F.col("next_free_ms"), F.lit(rnd * round_ms))
+    end = F.lit((rnd + 1) * round_ms)
+    budget = (
+        F.when(start >= end, F.lit(0))
+        .when(F.col("crawl_delay") <= 0, F.lit(cap))
+        .otherwise(
+            F.least(
+                F.floor((end - start + F.col("crawl_delay") - 1) / F.col("crawl_delay")),
+                F.lit(cap),
+            )
+        )
+    )
+    return hosts.select(
+        F.col("scheme_and_authority").alias("host"),
+        budget.cast("int").alias("budget"),
+        F.col("crawl_delay"),
+        F.col("next_free_ms"),
+    ).where(F.col("budget") > 0)
+
+
+def politeness_select(
+    discovered: DataFrame, budgets: DataFrame, n_salts: int = 0
+) -> DataFrame:
+    """Per-host top-budget by (crawl_priority DESC, url ASC) — the window
+    re-expression of HostQueue's max-heap + delay gate (HostQueue.scala:69,
+    128-141) with deterministic tie-break (SURVEY.md §7.1).
+
+    ``n_salts`` > 1 adds a pre-rank pass partitioned by (host, salt) so one
+    mega-host cannot serialize a single window partition (AQE splits the
+    shuffle; the salt splits the *sort*).  Exact: top-B per host ⊆ union of
+    per-salt top-Bs.
+    """
+    j = discovered.join(F.broadcast(budgets.select("host", "budget")), "host")
+    order = [F.desc("crawl_priority"), F.asc("url")]
+    if n_salts and n_salts > 1:
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        j = (
+            j.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("budget"))
+            .drop("_salt", "_r1")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
+    return j.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= F.col("budget")
+    )
+
+
+def assign_fetch_order(sel: DataFrame, fetch_seq: int) -> DataFrame:
+    """Global deterministic order = (host ASC, rank ASC) flattened onto the
+    cross-round fetch counter.  Only per-host COUNTS (≤1 row per active host)
+    flow through the ordered prefix-sum window — never the URL rows."""
+    counts = sel.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "host", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
+    return sel.join(F.broadcast(offsets), "host").withColumn(
+        "fetch_order",
+        (F.lit(fetch_seq) + F.col("_offset") + F.col("rank") - 1).cast("long"),
+    ).drop("_offset")
+
+
+def advance_gates(
+    hosts: DataFrame, fetched_counts: DataFrame, rnd: int, round_ms: int
+) -> DataFrame:
+    """kernels/politeness.advance_gate vectorized: gate advances only for
+    hosts that actually fetched (the reference gate also advances only on
+    dequeue — HostQueue.scala:131)."""
+    fc = fetched_counts.select(
+        F.col("host").alias("scheme_and_authority"), F.col("_n").alias("_fetched")
+    )
+    j = hosts.join(F.broadcast(fc), "scheme_and_authority", "left")
+    start = F.greatest(F.col("next_free_ms"), F.lit(rnd * round_ms))
+    new_gate = F.when(
+        F.col("_fetched").isNotNull(),
+        start + F.col("_fetched") * F.greatest(F.col("crawl_delay"), F.lit(0)),
+    ).otherwise(F.col("next_free_ms"))
+    return j.withColumn("next_free_ms", new_gate.cast("long")).drop("_fetched")
+
+
+# -- O10-O14: fetch join + parse/emit ----------------------------------------
+
+PARSEABLE_CONTENT_TYPES = ("text/html", "application/xhtml+xml")  # Fetcher.scala:31
+
+
+def _nofollow_col(c: Column) -> Column:
+    """X-Robots-Tag / meta-robots token test (RobotsHeaderFilter.scala:24-38,
+    HtmlParser.scala:65-72): comma-split, trimmed, case-insensitive equality
+    — pure Catalyst higher-order function."""
+    return F.coalesce(
+        F.exists(
+            F.split(c, ","), lambda t: F.lower(F.trim(t)) == F.lit("nofollow")
+        ),
+        F.lit(False),
+    )
+
+
+def fetch_and_emit(
+    sel: DataFrame, corpus: DataFrame, cfg: CrawlConfig, resolve_redirect_udf
+) -> tuple[DataFrame, DataFrame]:
+    """→ (fetched rows joined to payloads, emitted next-round candidates).
+
+    Fetch semantics (Fetcher.scala:108-188): 3xx re-injects the resolved
+    Location at the SAME depth (:121-131); 4xx/5xx no parse (:110-118);
+    oversized body → LengthLimitExceeded, no parse (:142,168-170); only
+    text/html|xhtml parsed (:31,160-162) and only below the depth limit
+    (CrawlDepthLimiter.scala:22-28 — the limit cuts EXPANSION, not fetching).
+    Children emitted at depth+1 (HtmlParser.scala:45) with deterministic
+    seq = parent_fetch_order*1e6 + (0 | 1+link_pos).
+    """
+    fetched = sel.join(corpus, "url", "left")
+    sc = F.col("status_code")
+
+    redirects = (
+        fetched.where(
+            sc.isNotNull()
+            & (sc >= 300) & (sc < 400)
+            & F.col("redirect_to").isNotNull()
+        )
+        .withColumn("_red", resolve_redirect_udf(F.col("redirect_to"), F.col("url")))
+        .where(F.col("_red").isNotNull())
+        .select(
+            F.col("_red").alias("url"),
+            F.col("crawl_depth"),
+            (F.col("fetch_order") * 1_000_000).cast("long").alias("seq"),
+        )
+    )
+
+    too_big = F.col("bytes").isNotNull() & (
+        F.length(F.col("bytes")) > F.lit(cfg.max_content_length)
+    )
+    parse_ok = fetched.where(
+        (sc == 200)
+        & ~too_big
+        & F.col("content_type").isin(*PARSEABLE_CONTENT_TYPES)
+        & (F.col("crawl_depth") < F.lit(cfg.max_crawl_depth))
+        & ~_nofollow_col(F.col("x_robots_tag"))
+        & ~_nofollow_col(F.col("meta_robots"))
+    )
+    links = parse_ok.select(
+        F.col("crawl_depth"),
+        F.col("fetch_order"),
+        F.posexplode_outer("out_links").alias("_pos", "_link"),
+    ).where(F.col("_link").isNotNull()).select(
+        F.col("_link").alias("url"),
+        (F.col("crawl_depth") + 1).cast("int").alias("crawl_depth"),
+        (F.col("fetch_order") * 1_000_000 + 1 + F.col("_pos")).cast("long").alias("seq"),
+    )
+    return fetched, redirects.unionByName(links)
+
+
+# -- O5/O15/O18: status MERGE -------------------------------------------------
+
+def merge_fetch_statuses(frontier: DataFrame, sel: DataFrame, rnd: int) -> DataFrame:
+    """MERGE the round's fetch set into the frontier: Discovered→Processed +
+    fetched_round + fetch_order (PageManager.scala:139 status update batch,
+    FetchResultConsumer.scala:34-50 default consumer marks Processed).  The
+    update side is one round's fetch set — broadcast against the big table."""
+    upd = sel.select("url", F.col("fetch_order").alias("_fo"))
+    hit = F.col("_fo").isNotNull()
+    return (
+        frontier.join(F.broadcast(upd), "url", "left")
+        .select(
+            "url",
+            "url_hash",
+            "host",
+            F.when(hit, F.lit(STATUS_PROCESSED)).otherwise(F.col("status")).alias("status"),
+            "crawl_depth",
+            "crawl_priority",
+            "discovered_round",
+            F.when(hit, F.lit(rnd)).otherwise(F.col("fetched_round")).cast("int").alias("fetched_round"),
+            F.coalesce(F.col("_fo"), F.col("fetch_order")).alias("fetch_order"),
+            "partition_id",
+        )
+    )

@@ -1,0 +1,171 @@
+"""Vectorized pandas/Arrow UDF factories wrapping the pure-pandas kernels.
+
+Per the north rule, every per-row computation that cannot be expressed as a
+Catalyst built-in runs as an Arrow-batched pandas UDF — never row-at-a-time
+Python.  Each factory binds config/broadcast state into a closure and
+returns a ready-to-use column function.
+
+Kernel provenance (reference semantics, re-expressed from public API docs):
+- normalize:  ``/root/reference/src/main/scala/abwcf/services/UrlNormalizationService.scala:21-79``
+- robots:     ``actors/HostManager.scala:110-167``, ``SlickHostRepository.scala:43-57``, RFC 9309
+- redirect:   ``util/HttpUtils.scala:16-27``
+- payload:    ``BASELINE.json.input_hint`` (decoded-pixel PSNR ≥ 40 dB lossy,
+              exact for png, caption equality, phash Hamming gate)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import CrawlConfig
+from ..kernels.robots import host_outcome, robots_allowed_series
+from ..kernels.urlnorm import normalize_series
+
+
+def make_normalize_udf(cfg: CrawlConfig):
+    ru, rq, rf = cfg.remove_userinfo, cfg.remove_query, cfg.remove_fragment
+
+    @F.pandas_udf(StringType())
+    def normalize_udf(urls: pd.Series) -> pd.Series:
+        return normalize_series(urls, ru, rq, rf)
+
+    return normalize_udf
+
+
+@F.pandas_udf(BooleanType())
+def robots_allowed_udf(
+    urls: pd.Series, rule_modes: pd.Series, rules: pd.Series
+) -> pd.Series:
+    """Nullable boolean: NA where the host is unknown (rule_mode null) —
+    callers apply fail-open (lenient) / fail-close (strict) via coalesce."""
+    return robots_allowed_series(urls, rule_modes, rules)
+
+
+_HOST_OUTCOME_SCHEMA = StructType(
+    [
+        StructField("rule_mode", StringType()),
+        StructField("robot_rules", StringType()),
+        StructField("crawl_delay", LongType()),
+        StructField("lifetime_s", LongType()),
+    ]
+)
+
+
+def make_host_outcome_udf(cfg: CrawlConfig):
+    uas = cfg.user_agents
+
+    @F.pandas_udf(_HOST_OUTCOME_SCHEMA)
+    def host_outcome_udf(outcomes: pd.Series, bodies: pd.Series) -> pd.DataFrame:
+        # parse once per unique (outcome, body) — robots bodies repeat heavily
+        out = pd.DataFrame(
+            index=outcomes.index,
+            columns=["rule_mode", "robot_rules", "crawl_delay", "lifetime_s"],
+        )
+        key = pd.DataFrame({"o": outcomes.astype(object), "b": bodies.astype(object)})
+        for (o, b), idx in key.groupby(["o", "b"], dropna=False).groups.items():
+            mode, rules, delay, life = host_outcome(
+                str(o), None if pd.isna(b) else str(b), uas
+            )
+            out.loc[idx, ["rule_mode", "robot_rules", "crawl_delay", "lifetime_s"]] = [
+                mode,
+                rules,
+                delay,
+                life,
+            ]
+        out["crawl_delay"] = out["crawl_delay"].astype("int64")
+        out["lifetime_s"] = out["lifetime_s"].astype("int64")
+        return out
+
+    return host_outcome_udf
+
+
+@F.pandas_udf(StringType())
+def resolve_redirect_udf(locations: pd.Series, urls: pd.Series) -> pd.Series:
+    from ..kernels.links import resolve_redirect
+
+    return pd.Series(
+        [resolve_redirect(loc if isinstance(loc, str) else None, u)
+         for loc, u in zip(locations, urls)],
+        index=locations.index,
+        dtype=object,
+    )
+
+
+def make_bloom_probe_udf(spark, bloom):
+    """Broadcast the bloom bit array once; probe batches of xxhash64 keys.
+
+    False = definitely never inserted (skips the exact anti-join);
+    True  = maybe seen (falls through to the anti-join authority).
+    """
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    @F.pandas_udf(BooleanType())
+    def bloom_probe_udf(hashes: pd.Series) -> pd.Series:
+        from ..kernels.bloom import BloomFilter
+
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(
+            bf.might_contain(hashes.to_numpy(dtype=np.int64)), index=hashes.index
+        )
+
+    return bloom_probe_udf, bc
+
+
+# --------------------------------------------------------------------------
+# Payload validation (mapInPandas batch function)
+# --------------------------------------------------------------------------
+
+PAYLOAD_CHECK_SCHEMA = "url string, payload_ok boolean"
+
+
+def validate_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode image bytes, check PSNR/exactness vs the
+    deterministically regenerated reference pixels, phash Hamming distance,
+    and caption equality (input_hint row invariant).  Arrow-batched; the
+    per-image decode is numpy (variable-size images force per-image calls,
+    but all pixel math is vectorized)."""
+    from ..kernels.hashing import xxhash64_str
+    from ..kernels.imagecodec import (
+        LOSSY_PSNR_THRESHOLD_DB,
+        decode_image,
+        gen_pixels,
+        phash64,
+        psnr,
+    )
+
+    for pdf in batches:
+        oks = np.zeros(len(pdf), dtype=bool)
+        for i, row in enumerate(pdf.itertuples(index=False)):
+            try:
+                px = decode_image(bytes(row.bytes))
+            except (ValueError, TypeError):
+                continue
+            ref = gen_pixels(str(row.image_id), int(row.w), int(row.h))
+            if row.fmt == "png":
+                pix_ok = px.shape == ref.shape and bool((px == ref).all())
+                ham_ok = phash64(px) == int(row.phash)
+            else:
+                pix_ok = psnr(px, ref) >= LOSSY_PSNR_THRESHOLD_DB
+                ham = bin(
+                    (phash64(px) ^ int(row.phash)) & ((1 << 64) - 1)
+                ).count("1")
+                ham_ok = ham <= 8
+            expected_caption = (
+                f"caption of {row.image_id}: deterministic text "
+                + str((xxhash64_str(str(row.url)) & 0x7FFFFFFFFFFFFFFF) % 1000)
+            )
+            oks[i] = pix_ok and ham_ok and row.caption == expected_caption
+        yield pd.DataFrame({"url": pdf["url"].astype(object), "payload_ok": oks})

@@ -1,0 +1,496 @@
+"""Driver-facing query registry: each re-expressed ABWCF operator shape
+(SURVEY.md §2) plus the training-data pipeline operators, as
+(spark, sf_dir) → DataFrame callables with matching DuckDB oracle SQL.
+
+The driver runs each Spark query AND its oracle SQL side-by-side at sf=0.01
+and compares row-count + schema + order-insensitive value hash, so:
+- every computed column is aliased identically on both sides;
+- outputs avoid *computed* floats (float reduction order is engine-specific)
+  — aggregates are integer/decimal-exact; passthrough doubles are fine.
+
+Crawl-pipeline entries that are not SQL-expressible (full round loop,
+xxhash64-based MinHash) have no oracle_sql → the driver records the weaker
+rows-only check; their exactness is enforced against the pure-Python oracle
+in tests/ instead (tests/test_crawl_e2e.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle_sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle_sql is not None:
+            ORACLE[name] = oracle_sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# O3 — URL filter as pure Catalyst predicates (UrlFilter.scala:36-44):
+# length gate + must-match regex, pushed into the scan.
+# ---------------------------------------------------------------------------
+@q(
+    "o3_regex_filter",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE length(p_name) <= 30 AND regexp_matches(p_name, 'green|blue')
+    """,
+)
+def o3_regex_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .where((F.length("p_name") <= 30) & F.col("p_name").rlike("green|blue"))
+        .select("p_partkey", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — exact URL-seen dedup as LEFT ANTI join (PageManager identity,
+# UrlDeduplicator.scala:13): candidates not already in the frontier.
+# ---------------------------------------------------------------------------
+@q(
+    "o5_anti_join_dedup",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def o5_anti_join_dedup(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return customer.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# O5 — in-round first-discovery-wins (repeat Discover is a no-op,
+# PageManager.scala:107): per key keep the lexicographically-least
+# (discovery order) row via window rank.
+# ---------------------------------------------------------------------------
+@q(
+    "o5_first_discovery_wins",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def o5_first_discovery_wins(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            # dates as canonical strings: cross-engine value-hash parity
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7 — robots rules lookup as a broadcast dim join (HostInformation is one
+# row per host — LenientRobotsFilter.scala:53-57 cache ≙ broadcast hosts).
+# Money summed in exact integer cents (float reductions are order-sensitive).
+# ---------------------------------------------------------------------------
+@q(
+    "o7_broadcast_dim_join",
+    """
+    SELECT n_name, count(*) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('EUROPE', 'ASIA')
+    GROUP BY n_name
+    """,
+)
+def o7_broadcast_dim_join(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name").isin("EUROPE", "ASIA"))
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O8 — per-host politeness selection as window rank (HostQueue max-heap +
+# deterministic tiebreak, HostQueue.scala:69; SURVEY.md §7.1): top-3 orders
+# per customer by (totalprice DESC, orderkey ASC).
+# ---------------------------------------------------------------------------
+@q(
+    "o8_politeness_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, rank_in_host
+    FROM (
+      SELECT o_custkey, o_orderkey, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_host
+      FROM orders
+    ) WHERE rank_in_host <= 3
+    """,
+)
+def o8_politeness_window_rank(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank_in_host", F.row_number().over(w))
+        .where(F.col("rank_in_host") <= 3)
+        .select("o_custkey", "o_orderkey", "rank_in_host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O8 — the crawl-delay budget gate arithmetic (HostQueue.scala:128-141
+# discretized; kernels/politeness.budget_for_round) as pure integer SQL:
+# budget = min(ceil((end-start)/delay), cap), 0 if the gate is past the
+# round, cap if delay = 0.  Same formula the engine runs per host per round.
+# ---------------------------------------------------------------------------
+@q(
+    "o8_budget_gate",
+    """
+    SELECT s_suppkey, CAST(
+      CASE
+        WHEN greatest(next_free_ms, 2000) >= 3000 THEN 0
+        WHEN delay_ms <= 0 THEN 8
+        ELSE least(CAST(floor((3000 - greatest(next_free_ms, 2000) + delay_ms - 1)
+                        / delay_ms) AS BIGINT), 8)
+      END AS INT) AS budget
+    FROM (
+      SELECT s_suppkey, (s_suppkey % 5) * 250 AS delay_ms,
+             (s_suppkey % 7) * 300 AS next_free_ms
+      FROM supplier
+    )
+    """,
+)
+def o8_budget_gate(spark, sf_dir):
+    base = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 5) * 250).alias("delay_ms"),
+        ((F.col("s_suppkey") % 7) * 300).alias("next_free_ms"),
+    )
+    start = F.greatest(F.col("next_free_ms"), F.lit(2000))
+    budget = (
+        F.when(start >= 3000, F.lit(0))
+        .when(F.col("delay_ms") <= 0, F.lit(8))
+        .otherwise(
+            F.least(
+                F.floor((F.lit(3000) - start + F.col("delay_ms") - 1) / F.col("delay_ms")).cast("bigint"),
+                F.lit(8).cast("bigint"),
+            )
+        )
+    )
+    return base.select("s_suppkey", budget.cast("int").alias("budget"))
+
+
+# ---------------------------------------------------------------------------
+# O11 — fetch status routing (Fetcher.scala:108-131): 2xx/3xx/4xx+5xx →
+# Processed / redirect re-inject / error, as case/when aggregation.
+# ---------------------------------------------------------------------------
+@q(
+    "o11_status_routing",
+    """
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'Discovered'
+                              WHEN 'F' THEN 'Processed'
+                              ELSE 'Disallowed' END AS status,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def o11_status_routing(spark, sf_dir):
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "Discovered")
+        .when(F.col("o_orderstatus") == "F", "Processed")
+        .otherwise("Disallowed")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O14 — link extraction flatMap shape (HtmlParser.scala:36-48): explode a
+# document into tokens, aggregate counts (the "emitted URLs per doc" path).
+# ---------------------------------------------------------------------------
+@q(
+    "o14_token_explode",
+    """
+    SELECT word, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 100
+    )
+    WHERE word <> ''
+    GROUP BY word HAVING count(*) >= 5
+    """,
+)
+def o14_token_explode(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O19 — restore scan: top-k by priority (SlickPageRepository.scala:58-61,
+# ORDER BY crawl_priority DESC LIMIT k) with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@q(
+    "o19_topk_restore_scan",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def o19_topk_restore_scan(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O20 — metrics rollup (per-stage counters → per-window counts,
+# metrics/FetcherMetrics.scala:130-145 analogue).
+# ---------------------------------------------------------------------------
+@q(
+    "o20_metrics_rollup",
+    """
+    SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+    FROM events GROUP BY 1, 2
+    """,
+)
+def o20_metrics_rollup(spark, sf_dir):
+    # hour as a canonical STRING on both sides: timestamp value-hash parity
+    # across engines is formatting-dependent, strings are not
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup by content hash (the training-pipeline analogue of the
+    URL-seen exact path): hash-groupBy, keep canonical representative."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Text quality signals (token count, punctuation count) as pure
+    Catalyst expressions — integer outputs only (float ratios are computed
+    downstream where hashing parity doesn't apply)."""
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).alias("n_tokens"),
+        F.length(F.regexp_replace(t, r"[^.!?,;:]", "")).alias("n_punct"),
+        F.length(t).alias("n_chars_actual"),
+    )
+
+
+@q(
+    "lang_stopword_id",
+    """
+    SELECT doc_id, lang,
+           CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5
+                AS BIGINT) AS en_stopword_hits
+    FROM documents
+    """,
+)
+def lang_stopword_id(spark, sf_dir):
+    """Language-ID heuristic signal: English stopword frequency via exact
+    integer substring counting (n-gram heuristic building block)."""
+    lt = F.lower(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ((F.length(lt) - F.length(F.regexp_replace(lt, " the ", ""))) / 5)
+        .cast("bigint")
+        .alias("en_stopword_hits"),
+    )
+
+
+def minhash_lsh_candidates(spark, sf_dir):
+    """Near-duplicate candidate pairs via MinHash + LSH banding — entirely
+    Catalyst built-ins: shingle (explode word 3-grams) → 8 minhashes
+    (xxhash64 with per-permutation salt, min per doc) → 4 bands × 2 rows →
+    band-bucket self-join → distinct (a < b) pairs.
+
+    No DuckDB oracle (xxhash64 is Spark-specific) → rows-only check here;
+    the pair semantics are tested in tests/test_queries.py against a
+    brute-force Jaccard computation.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "w")
+    )
+    w1, w2 = F.col("w"), F.lead("w", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    w3 = F.lead("w", 2).over(Window.partitionBy("doc_id").orderBy("pos"))
+    shingles = (
+        words.select("doc_id", F.concat_ws(" ", w1, w2, w3).alias("shingle"))
+        .where(F.col("shingle").rlike(r"\S+ \S+ \S+"))
+        .distinct()
+    )
+    hashes = shingles.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.concat(F.lit(f"p{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(8)
+        ],
+    )
+    sig = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(8)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                F.concat_ws("|", F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+            ).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    pairs = None
+    for b in range(4):
+        left = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bucket"))
+        right = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bucket"))
+        p = left.join(right, "bucket").where(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+QUERIES["minhash_lsh_candidates"] = minhash_lsh_candidates
+
+
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search over the embedding column
+    (array<float>) — JVM-side higher-order functions (zip_with + aggregate),
+    no UDF.  Query vector = the lexicographically-first row's embedding.
+
+    Float reduction parity with DuckDB is not guaranteed (summation dtype/
+    order), so this is a rows-only entry; numeric correctness is covered by
+    tests/test_queries.py against numpy.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    first_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    qvec = emb.where(F.col("vec_id") == first_id).select("embedding")
+    q_lit = F.lit(qvec.collect()[0][0])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = F.col("embedding")
+    cos = dot(e, q_lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(q_lit, q_lit)))
+    return (
+        emb.where(F.col("vec_id") != first_id)
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+QUERIES["embedding_cosine_topk"] = embedding_cosine_topk
+
+
+def crawl_t1_micro(spark, sf_dir):
+    """The full crawl round loop on the deterministic t1-micro fixture —
+    the flagship end-to-end pipeline (all operators O1-O19 composed).
+    Not SQL-expressible → rows-only here; exact crawl-order/URL-seen match
+    vs the pure-Python ABWCF oracle is enforced in tests/test_crawl_e2e.py.
+    """
+    from .engine.crawler import SparkCrawler
+    from .testing.corpus import T1_MICRO, gen_corpus
+    from .testing.spark_fixtures import corpus_to_spark
+
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    crawler = SparkCrawler(spark, sdfs["corpus"], sdfs["robots"])
+    res = crawler.run(seeds=sdfs["seeds"])
+    return res.frontier.drop("partition_id").orderBy("url")
+
+
+QUERIES["crawl_t1_micro"] = crawl_t1_micro

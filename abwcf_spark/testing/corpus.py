@@ -181,18 +181,30 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
     return {"corpus": corpus, "robots": robots, "seeds": seeds}
 
 
-# canonical fixture specs (FIXTURES.md §Scale points)
+# canonical fixture specs (FIXTURES.md §Scale points).  The T2 fixtures are
+# run with CrawlConfig(round_seconds=4) so per-host budgets are 2/4/8
+# depending on crawl delay — more politeness math per round, fewer rounds
+# (each Spark round has fixed scheduling overhead in local mode).
 T1_MICRO = CorpusSpec(n_hosts=1, urls_per_host=10, seed_hosts=1)
 T2_MULTI = CorpusSpec(
     n_hosts=8,
-    urls_per_host=64,
+    urls_per_host=24,
     seed_hosts=3,
+    redirect_rate=7,
+    error_rate=9,
+    nofollow_rate=11,
     unavailable_hosts=(5,),
     unreachable_hosts=(6,),
     crawl_delays={2: 2.0, 3: 0.5},
 )
 T2_SKEW = CorpusSpec(
-    n_hosts=8, urls_per_host=256, seed_hosts=4, skew_host_frac=0.9
+    n_hosts=8,
+    urls_per_host=256,
+    seed_hosts=4,
+    skew_host_frac=0.9,
+    # the mega-host crawls unthrottled (delay 0 → budget = cap) so the skew
+    # actually reaches the politeness window; small hosts stay delay-gated
+    crawl_delays={0: 0.0},
 )
 
 

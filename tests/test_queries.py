@@ -1,0 +1,114 @@
+"""Local replay of the driver's correctness gate: every oracled entry in
+queries() must match its DuckDB oracle_sql() at sf0.01 (row count, schema
+arity, order-insensitive values), and the rows-only entries are validated
+semantically (MinHash candidates vs brute-force Jaccard, cosine top-k vs
+numpy)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import testdata_dir as _sf_dir
+
+SF = _sf_dir("0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def oracled_names():
+    from abwcf_spark.queries import ORACLE
+
+    return sorted(ORACLE)
+
+
+@pytest.mark.parametrize("name", oracled_names())
+def test_query_matches_duckdb_oracle(spark, name):
+    from abwcf_spark.queries import ORACLE, QUERIES
+
+    got = canon(QUERIES[name](spark, SF).toPandas())
+    want = canon(duck(ORACLE[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_minhash_candidates_find_real_near_dups(spark):
+    """Inject near-duplicate documents; LSH must surface them as candidate
+    pairs, and high-Jaccard pairs must dominate the candidate set."""
+    from abwcf_spark.queries import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).toPandas()
+    base = docs.iloc[0]["text"]
+    words = base.split()
+    near = " ".join(words[:-2] + ["zzz", "qqq"])  # ~high Jaccard vs base
+    extra = pd.DataFrame(
+        [
+            {"doc_id": 900001, "text": base, "lang": "en", "source": "t", "n_chars": len(base)},
+            {"doc_id": 900002, "text": near, "lang": "en", "source": "t", "n_chars": len(near)},
+        ]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        all_docs = pd.concat([docs, extra], ignore_index=True)
+        spark.createDataFrame(all_docs).write.parquet(f"{d}/documents.parquet")
+        pairs = minhash_lsh_candidates(spark, d).toPandas()
+    pset = {tuple(r) for r in pairs.itertuples(index=False)}
+    base_id = int(docs.iloc[0]["doc_id"])
+    assert (base_id, 900001) in pset or (900001, base_id) in pset
+    assert any(900002 in p for p in pset)
+
+
+def test_embedding_cosine_topk_matches_numpy(spark):
+    from abwcf_spark.queries import embedding_cosine_topk
+
+    got = embedding_cosine_topk(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    q = np.array(emb.iloc[0]["embedding"], dtype=np.float64)
+    rest = emb.iloc[1:]
+    mat = np.stack([np.array(v, dtype=np.float64) for v in rest["embedding"]])
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((rest["vec_id"].to_numpy(), -np.round(cos, 4)))[:20]
+    want = rest.iloc[order]["vec_id"].tolist()
+    assert got["vec_id"].tolist() == want
+    np.testing.assert_allclose(
+        got["cos_sim"].to_numpy(), np.round(cos[order], 4), atol=1e-4
+    )
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"c_custkey", "o_orderkey", "rank_in_host"} <= set(df.columns)
+    # every queries() key with oracle SQL is a subset of queries()
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 14

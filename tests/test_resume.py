@@ -1,0 +1,68 @@
+"""Kill/resume: a crawl stopped after round k and resumed from its
+checkpoint must produce a byte-identical final state to an uninterrupted
+run (north_rule: "resumable from checkpoint with per-partition lineage +
+metrics"; reference recovery semantics: PageRestorer.scala:26-55,
+SlickPageRepository.scala:58-61 — SURVEY.md §3.3)."""
+
+import pandas as pd
+
+from abwcf_spark.config import CrawlConfig
+from abwcf_spark.engine.crawler import SparkCrawler
+from abwcf_spark.testing.compare import ORACLE_COLS, assert_crawl_equal
+from abwcf_spark.testing.corpus import T1_MICRO, gen_corpus
+from abwcf_spark.testing.oracle import crawl_oracle
+from abwcf_spark.testing.spark_fixtures import corpus_to_spark
+
+CFG = CrawlConfig()
+
+
+def test_kill_resume_byte_identical(spark, tmp_path):
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"], CFG)
+
+    # run A: uninterrupted
+    a = SparkCrawler(spark, sdfs["corpus"], sdfs["robots"], CFG)
+    res_a = a.run(seeds=sdfs["seeds"])
+    assert_crawl_equal(res_a, oracle)
+
+    # run B: checkpoint every 2 rounds, killed after round 4
+    ckpt = str(tmp_path / "ckpt")
+    b1 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG,
+        checkpoint_dir=ckpt, checkpoint_interval=2,
+    )
+    b1.run(seeds=sdfs["seeds"], stop_after_round=3)
+    assert b1.latest_snapshot() is not None
+    killed_at = b1.rnd
+    assert 0 < killed_at < res_a.rounds, "must stop mid-crawl for a real test"
+    del b1  # "kill"
+
+    # run B resumed: a FRESH crawler restores round/fetch_seq/bloom/tables
+    b2 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG,
+        checkpoint_dir=ckpt, checkpoint_interval=2,
+    )
+    res_b = b2.run(resume=True)
+    assert_crawl_equal(res_b, oracle)
+
+    # byte-identical final frontier between interrupted and uninterrupted
+    fa = res_a.frontier_pdf()[ORACLE_COLS].reset_index(drop=True)
+    fb = res_b.frontier_pdf()[ORACLE_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa, fb)
+    assert res_a.fetch_seq == res_b.fetch_seq
+    assert res_a.rounds == res_b.rounds
+
+
+def test_resume_without_snapshot_raises(spark, tmp_path):
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    c = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG,
+        checkpoint_dir=str(tmp_path / "empty"),
+    )
+    try:
+        c.run(resume=True)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
