@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -205,6 +206,16 @@ class SparkCrawler:
         return df.localCheckpoint(eager=True)
 
     def _step(self) -> bool:
+        import time as _time
+
+        _t0 = _time.time()
+
+        def _lap(tag):
+            nonlocal _t0
+            t = _time.time()
+            m[f"t_{tag}"] = round(t - _t0, 3)
+            _t0 = t
+
         cfg, rnd = self.cfg, self.rnd
         now_ms = rnd * self.round_ms
         m: dict = {"round": rnd}
@@ -238,6 +249,7 @@ class SparkCrawler:
         cand = self._mat(cand)
         if self.collect_metrics:
             m["lenient_passed"] = cand.count()
+        _lap("cand")
 
         # O16/O17 robots refresh for missing/expired candidate hosts
         hosts_valid = self.hosts.where(F.col("valid_until") > F.lit(now_ms))
@@ -256,6 +268,7 @@ class SparkCrawler:
         hosts_next = self.hosts.join(
             refreshed.select("scheme_and_authority"), "scheme_and_authority", "left_anti"
         ).unionByName(refreshed)
+        _lap("robots")
 
         # O5/O6 insert with strict-robots status
         new_rows = self._mat(
@@ -272,6 +285,7 @@ class SparkCrawler:
                 F.col("status") != STATUS_DISCOVERED
             ).count()
         frontier = self.frontier.unionByName(new_rows)
+        _lap("insert")
 
         # O8 politeness: budgets + salted window-rank + global fetch order
         budgets = host_budgets(hosts_next, rnd, self.round_ms,
@@ -286,6 +300,7 @@ class SparkCrawler:
         )
         n_fetched = sel.count()
         m["fetched"] = n_fetched
+        _lap("select")
 
         # gate advance for hosts that fetched
         fetched_counts = sel.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
@@ -293,6 +308,7 @@ class SparkCrawler:
 
         # O10-O14 fetch + parse/emit; O15 payload validation
         fetched, emitted = fetch_and_emit(sel, self.corpus, cfg, resolve_redirect_udf)
+        validate = None
         if self.validate_payloads and n_fetched:
             checks = (
                 fetched.where(
@@ -303,7 +319,7 @@ class SparkCrawler:
                 .select("url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash")
                 .mapInPandas(validate_payload_batches, PAYLOAD_CHECK_SCHEMA)
             )
-            self.payload_failures += checks.where(~F.col("payload_ok")).count()
+            validate = lambda: checks.where(~F.col("payload_ok")).count()  # noqa: E731
 
         # O5/O18 status MERGE
         frontier_next = merge_fetch_statuses(frontier, sel, rnd)
@@ -316,11 +332,15 @@ class SparkCrawler:
         # million-digit BigInt stats whose arithmetic dominated round time.
         # A parquet round-trip resets stats to true on-disk sizes, truncates
         # the plan, and bounds partition counts via maxPartitionBytes.
+        # The three writes + payload validation are independent → submitted
+        # as concurrent Spark jobs from driver threads (the round's tail is
+        # otherwise serialized driver latency, the dominant Amdahl term).
         self.rnd = rnd + 1
         self.fetch_seq += n_fetched
-        self._commit_round(frontier_next, hosts_next2, emitted)
+        self._commit_round(frontier_next, hosts_next2, emitted, validate)
         n_emitted = self.candidates.count()
         m["emitted"] = n_emitted
+        _lap("commit")
         self.metrics.append(m)
         if self._bloom_bc is not None:
             self._bloom_bc.unpersist()
@@ -339,13 +359,31 @@ class SparkCrawler:
         return os.path.join(self.work_dir, f"round={rnd:06d}")
 
     def _commit_round(self, frontier: DataFrame, hosts: DataFrame,
-                      candidates: DataFrame) -> None:
+                      candidates: DataFrame, validate=None) -> None:
         d = self._snap_dir(self.rnd)
         if os.path.exists(d):
             shutil.rmtree(d)
-        frontier.coalesce(self._parts).write.parquet(os.path.join(d, "frontier"))
-        hosts.coalesce(min(self._parts, 4)).write.parquet(os.path.join(d, "hosts"))
-        candidates.coalesce(self._parts).write.parquet(os.path.join(d, "candidates"))
+        jobs = [
+            lambda: frontier.coalesce(self._parts).write.parquet(
+                os.path.join(d, "frontier")),
+            lambda: hosts.coalesce(min(self._parts, 4)).write.parquet(
+                os.path.join(d, "hosts")),
+            lambda: candidates.coalesce(self._parts).write.parquet(
+                os.path.join(d, "candidates")),
+        ]
+        if validate is not None:
+            jobs.append(lambda: setattr(
+                self, "payload_failures", self.payload_failures + validate()))
+        if os.environ.get("ABWCF_PARALLEL_COMMIT"):
+            # opt-in: measured SLOWER on a single shared local[] box (jobs
+            # contend for the same cores), but the right shape on a real
+            # cluster where the writes hit disjoint executors/IO
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                for f in [ex.submit(j) for j in jobs]:
+                    f.result()
+        else:
+            for j in jobs:
+                j()
         self._reload_from(d)
         self._prune()
 
@@ -368,6 +406,21 @@ class SparkCrawler:
         is incomplete and ignored by resume)."""
         d = self._snap_dir(self.rnd)
         os.makedirs(d, exist_ok=True)
+        # per-partition lineage + fetch metrics (north_rule: every frontier
+        # partition carries checkpointed lineage + fetch metrics): rows,
+        # fetched rows and fetch-order watermark per ingest partition id
+        (
+            self.frontier.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count("fetch_order").alias("fetched_rows"),
+                F.max("fetch_order").alias("max_fetch_order"),
+                F.max("discovered_round").alias("last_discovered_round"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "partition_metrics"))
+        )
         if self.bloom is not None:
             with open(os.path.join(d, "bloom.bin"), "wb") as f:
                 f.write(self.bloom.to_bytes())

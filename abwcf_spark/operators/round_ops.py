@@ -75,18 +75,27 @@ def url_seen_filter(
     """Drop candidates already in the frontier (exact dedup at PageManager
     identity, UrlDeduplicator.scala:13 / PageManager.scala:19).
 
-    With a bloom probe: rows probing negative are *provably* new and skip the
-    anti-join; positives go through the anti-join (the authority), so the
-    bloom can never false-drop.  The anti-join's frontier side is a
-    single-column (url) scan — column pruning keeps it narrow.
+    With a bloom probe: rows probing negative are *provably* new and skip
+    the exact check; positives (bloom fpp ≈ 1% of the batch, plus true
+    repeats) are confirmed against the frontier.  The confirmation is
+    shaped so the 10^10-row frontier is only ever SCANNED, never shuffled:
+    broadcast the tiny maybe-set INTO the frontier scan to find actual
+    hits, then anti-join the (even tinier) hit list back.  An anti-join
+    with the frontier on the right would instead shuffle the whole
+    frontier every round — the single biggest scale mistake available in
+    this pipeline.
     """
     seen_urls = frontier.select("url")
     if bloom_probe is None:
+        # exact path without bloom: plain anti-join (fine at test scale;
+        # the bloom path is the design point at frontier scale)
         return cand.join(seen_urls, "url", "left_anti")
     probed = cand.withColumn("_maybe", bloom_probe(F.xxhash64("url")))
     fresh = probed.where(~F.col("_maybe")).drop("_maybe")
     maybe = probed.where(F.col("_maybe")).drop("_maybe")
-    return fresh.unionByName(maybe.join(seen_urls, "url", "left_anti"))
+    hits = seen_urls.join(F.broadcast(maybe.select("url")), "url")  # frontier scan, no shuffle
+    confirmed_new = maybe.join(F.broadcast(hits), "url", "left_anti")
+    return fresh.unionByName(confirmed_new)
 
 
 # -- O7: lenient robots filter (fail-open broadcast semi-join) ---------------
@@ -317,8 +326,16 @@ def fetch_and_emit(
     (CrawlDepthLimiter.scala:22-28 — the limit cuts EXPANSION, not fetching).
     Children emitted at depth+1 (HtmlParser.scala:45) with deterministic
     seq = parent_fetch_order*1e6 + (0 | 1+link_pos).
+
+    Join shape: the round's fetch set is tiny relative to the payload
+    table, so broadcast the FETCH SET into the payload scan (a left join
+    the other way cannot broadcast its big right side and would sort-merge
+    shuffle the whole payload table every round).  Inner semantics suffice:
+    a fetch-set URL missing from the corpus (dead link) is still marked
+    Processed by the status MERGE — it just fetches nothing and emits
+    nothing, exactly the oracle's behavior for page=None.
     """
-    fetched = sel.join(corpus, "url", "left")
+    fetched = corpus.join(F.broadcast(sel), "url")
     sc = F.col("status_code")
 
     redirects = (

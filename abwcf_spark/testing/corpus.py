@@ -55,6 +55,7 @@ class CorpusSpec:
     unreachable_hosts: tuple[int, ...] = ()   # robots 5xx → ALLOW_NONE
     crawl_delays: dict[int, float] = field(default_factory=dict)  # host idx → seconds
     with_images: bool = True        # False skips byte payloads (fast graph-only tests)
+    fanout: int = 2                 # link-tree fanout (children of j: fanout*j+1..+fanout)
 
 
 def host_name(i: int) -> str:
@@ -115,7 +116,7 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
             # out links: binary tree + cross-host + dirty + disallowed
             links: list[str] = []
             if status == 200:
-                for child in (2 * j + 1, 2 * j + 2):
+                for child in range(spec.fanout * j + 1, spec.fanout * j + 1 + spec.fanout):
                     if child < n:
                         links.append(page_url(hi, child))
                 if spec.cross_host_rate and j % spec.cross_host_rate == 0 and spec.n_hosts > 1:

@@ -20,6 +20,9 @@ def run_both(spark, spec, cfg=CrawlConfig(), **crawler_kw):
     tables = gen_corpus(spec)
     oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"], cfg)
     sdfs = corpus_to_spark(spark, tables)
+    # per-stage metrics counts add ~5 Spark jobs/round; only the dedicated
+    # metrics test needs them — result equality doesn't
+    crawler_kw.setdefault("collect_metrics", False)
     crawler = SparkCrawler(
         spark, sdfs["corpus"], sdfs["robots"], cfg, **crawler_kw
     )
@@ -35,7 +38,7 @@ def test_t1_micro(spark, use_bloom):
 
 
 def test_t1_metrics_match_oracle(spark):
-    res, oracle = run_both(spark, T1_MICRO)
+    res, oracle = run_both(spark, T1_MICRO, collect_metrics=True)
     for s_m, o_m in zip(res.metrics, oracle.metrics):
         for k in ("candidates", "normalized", "new_urls", "lenient_passed",
                   "robots_fetched", "inserted", "disallowed", "fetched", "emitted"):

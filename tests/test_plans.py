@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the scale-critical plan shapes must not
+silently degrade (SURVEY.md §4 — what Catalyst must give us).
+
+These catch the class of bug where a correct-but-catastrophic join order
+sneaks in (e.g. a left join whose big right side cannot broadcast, sort-
+merge shuffling the whole payload table every round — found and fixed
+during round 1)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from abwcf_spark.config import CrawlConfig
+from abwcf_spark.engine.crawler import SparkCrawler
+from abwcf_spark.operators.round_ops import fetch_and_emit, url_seen_filter
+from abwcf_spark.operators.udfs import make_bloom_probe_udf, resolve_redirect_udf
+from abwcf_spark.testing.corpus import T1_MICRO, gen_corpus
+from abwcf_spark.testing.spark_fixtures import corpus_to_spark
+from tests.conftest import testdata_dir as _sf_dir
+
+
+def plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_dfs(spark):
+    return corpus_to_spark(spark, gen_corpus(T1_MICRO))
+
+
+def test_fetch_join_broadcasts_fetch_set(spark, fixture_dfs):
+    """The payload-table join must broadcast the (small) fetch set; a
+    sort-merge join here shuffles the whole payload table per round."""
+    sel = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["https://h0.example/p/0"], "host": ["https://h0.example"],
+             "crawl_depth": [0], "rank": [1], "fetch_order": [0]}
+        )
+    )
+    fetched, emitted = fetch_and_emit(
+        sel, fixture_dfs["corpus"], CrawlConfig(), resolve_redirect_udf
+    )
+    p = plan(fetched)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_url_seen_bloom_path_never_shuffles_frontier(spark, fixture_dfs):
+    """With the bloom probe, the frontier side must appear only under
+    broadcast exchanges (scan + broadcast-join), never a shuffle exchange."""
+    from abwcf_spark.kernels.bloom import BloomFilter
+
+    bloom = BloomFilter.for_capacity(1000)
+    bloom.add_hashes(__import__("numpy").arange(10, dtype="int64"))
+    probe, bc = make_bloom_probe_udf(spark, bloom)
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://h0.example/p/{i}" for i in range(5)],
+                      "crawl_depth": [0] * 5, "seq": list(range(5))})
+    )
+    frontier = spark.createDataFrame(
+        [], "url string, url_hash long, host string, status string, crawl_depth int,"
+            " crawl_priority long, discovered_round int, fetched_round int,"
+            " fetch_order long, partition_id int",
+    )
+    out = url_seen_filter(cand, frontier, probe)
+    p = plan(out)
+    assert "SortMergeJoin" not in p, "frontier must be scanned, not shuffled"
+    bc.unpersist()
+
+
+def test_query_scan_prunes_columns(spark):
+    """o3 must read only the 2 projected columns from the parquet scan
+    (ReadSchema), with the length predicate pushed."""
+    from abwcf_spark.queries import QUERIES
+
+    df = QUERIES["o3_regex_filter"](spark, _sf_dir("0.001"))
+    p = plan(df)
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "p_partkey" in rs[0] and "p_name" in rs[0]
+    assert "p_type" not in rs[0] and "p_brand" not in rs[0], "column pruning lost"
+
+
+def test_status_merge_broadcasts_update_side(spark, fixture_dfs):
+    from abwcf_spark.operators.round_ops import merge_fetch_statuses
+
+    crawler = SparkCrawler(
+        spark, fixture_dfs["corpus"], fixture_dfs["robots"], use_bloom=False
+    )
+    crawler.seed(fixture_dfs["seeds"])
+    crawler._step()
+    sel = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://h0.example/p/0"], "fetch_order": [0]})
+    ).select("url", F.col("fetch_order").cast("long"))
+    merged = merge_fetch_statuses(crawler.frontier, sel, 1)
+    p = plan(merged)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p

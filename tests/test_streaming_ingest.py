@@ -1,0 +1,66 @@
+"""Structured Streaming seed intake: files of seed URLs → micro-batches →
+frontier inserts, idempotent per URL (re-delivery safe)."""
+
+import os
+
+import pandas as pd
+
+from abwcf_spark.config import STATUS_DISCOVERED, CrawlConfig
+from abwcf_spark.streaming.ingest import seed_intake_batch, start_seed_stream
+
+
+def _write_seed_file(spark, d, i, urls):
+    pdf = pd.DataFrame({"url": urls, "seq": range(i * 100, i * 100 + len(urls))})
+    spark.createDataFrame(pdf.astype({"seq": "int64"})).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+
+def test_stream_ingests_and_dedups(spark, tmp_path):
+    seed_dir = str(tmp_path / "seeds")
+    frontier_dir = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(seed_dir, exist_ok=True)
+
+    _write_seed_file(
+        spark, seed_dir, 0,
+        ["https://h0.example/p/0", "HTTPS://H0.EXAMPLE/p/1#frag", "mailto:x@y"],
+    )
+    q = start_seed_stream(spark, seed_dir, frontier_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(frontier_dir).toPandas().sort_values("url")
+    # mailto dropped by the normalizer; dirty URL canonicalized
+    assert list(got["url"]) == [
+        "https://h0.example/p/0",
+        "https://h0.example/p/1",
+    ]
+    assert (got["status"] == STATUS_DISCOVERED).all()
+
+    # second batch: one repeat + one new → only the new row appended
+    _write_seed_file(
+        spark, seed_dir, 1,
+        ["https://h0.example/p/0", "https://h0.example/p/2"],
+    )
+    q2 = start_seed_stream(spark, seed_dir, frontier_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(frontier_dir).toPandas().sort_values("url")
+    assert list(got2["url"]) == [
+        "https://h0.example/p/0",
+        "https://h0.example/p/1",
+        "https://h0.example/p/2",
+    ]
+
+
+def test_intake_batch_idempotent(spark, tmp_path):
+    frontier_dir = str(tmp_path / "frontier")
+    batch = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://h0.example/a"], "seq": [0]}).astype(
+            {"seq": "int64"}
+        )
+    )
+    cfg = CrawlConfig()
+    seed_intake_batch(spark, batch, frontier_dir, cfg)
+    seed_intake_batch(spark, batch, frontier_dir, cfg)  # re-delivery
+    got = spark.read.parquet(frontier_dir).toPandas()
+    assert len(got) == 1
