@@ -386,6 +386,73 @@ def lang_stopword_id(spark, sf_dir):
     )
 
 
+@q(
+    "o2_url_normalize",
+    """
+    SELECT 'HTTPS://HOST-' || p_partkey || '.EXAMPLE:443/items/x/../' || p_partkey
+           || '?k=v#frag' AS url_raw,
+           'https://host-' || p_partkey || '.example/items/' || p_partkey
+           || '?k=v' AS url_norm
+    FROM part
+    """,
+)
+def o2_url_normalize(spark, sf_dir):
+    """O2 — RFC-3986 normalization (UrlNormalizationService.scala:21-79) as
+    a vectorized pandas UDF, validated against an independently CONSTRUCTED
+    expectation: the dirty inputs are built so their canonical form is
+    computable by plain string ops in DuckDB (case-folded scheme+host,
+    default port stripped, dot-segments removed, fragment dropped, query
+    kept — reference defaults)."""
+    from .config import CrawlConfig
+    from .operators.udfs import make_normalize_udf
+
+    normalize_udf = make_normalize_udf(CrawlConfig())
+    raw = F.concat(
+        F.lit("HTTPS://HOST-"), F.col("p_partkey").cast("string"),
+        F.lit(".EXAMPLE:443/items/x/../"), F.col("p_partkey").cast("string"),
+        F.lit("?k=v#frag"),
+    )
+    return _t(spark, sf_dir, "part").select(
+        raw.alias("url_raw"), normalize_udf(raw).alias("url_norm")
+    )
+
+
+def simhash_fingerprint(spark, sf_dir):
+    """Document fingerprinting via 64-bit SimHash — pure Catalyst: token
+    explode → xxhash64 → per-bit ±1 vote (64 conditional sums, map-side
+    combinable) → sign bits reassembled into one long.  Near-duplicate
+    documents land within small Hamming distance.  No DuckDB oracle
+    (xxhash64 is Spark-specific) → rows-only; semantics tested in
+    tests/test_queries.py against a python reimplementation."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
+            F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+QUERIES["simhash_fingerprint"] = simhash_fingerprint
+
+
 def minhash_lsh_candidates(spark, sf_dir):
     """Near-duplicate candidate pairs via MinHash + LSH banding — entirely
     Catalyst built-ins: shingle (explode word 3-grams) → 8 minhashes

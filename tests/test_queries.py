@@ -112,3 +112,57 @@ def test_entry_runs(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 14
+
+
+def test_simhash_matches_python(spark):
+    from abwcf_spark.kernels.hashing import xxhash64_str
+    from abwcf_spark.queries import simhash_fingerprint
+
+    got = simhash_fingerprint(spark, SF).toPandas().set_index("doc_id")["simhash"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet").head(20)
+    import re
+
+    for _, row in docs.iterrows():
+        votes = [0] * 64
+        for tok in re.split(r"\s+", row["text"]):
+            if not tok:
+                continue
+            h = xxhash64_str(tok) & ((1 << 64) - 1)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if votes[b] > 0:
+                v |= 1 << b
+        want = v - (1 << 64) if v >= (1 << 63) else v
+        assert int(got.loc[row["doc_id"]]) == want
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    """A lightly-edited document must land within small Hamming distance of
+    the original; an unrelated document must not."""
+    import tempfile
+
+    from abwcf_spark.queries import simhash_fingerprint
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").head(10)
+    base = docs.iloc[0]["text"]
+    words = base.split()
+    near = " ".join(words[:-3] + ["xq1", "xq2", "xq3"])
+    extra = pd.DataFrame(
+        [{"doc_id": 900001, "text": near, "lang": "en", "source": "t",
+          "n_chars": len(near)}]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pd.concat([docs, extra], ignore_index=True).pipe(
+            spark.createDataFrame
+        ).write.parquet(f"{d}/documents.parquet")
+        sh = simhash_fingerprint(spark, d).toPandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    base_id = int(docs.iloc[0]["doc_id"])
+    other_id = int(docs.iloc[5]["doc_id"])
+    assert ham(sh.loc[base_id], sh.loc[900001]) <= 12
+    assert ham(sh.loc[base_id], sh.loc[other_id]) > 12
