@@ -543,6 +543,68 @@ def embedding_cosine_topk(spark, sf_dir):
 QUERIES["embedding_cosine_topk"] = embedding_cosine_topk
 
 
+def embedding_ann_lsh(spark, sf_dir, n_planes: int = 8, topk: int = 20):
+    """ANN scale path: random-hyperplane LSH bucketing.  Each vector gets an
+    n_planes-bit signature (sign of dot product with deterministic
+    pseudo-random hyperplanes derived from xxhash64 — no RNG state, any
+    executor can regenerate them); candidate set = vectors whose signature
+    is within Hamming distance 1 of the query's (multi-probe), re-ranked by
+    exact cosine.  At 10^10 rows the bucket join replaces the full scan:
+    cost ~ (n+q)/2^bits per probe instead of n·q.  Rows-only entry (float
+    cosine + Spark-specific hashing); recall vs brute force is asserted in
+    tests/test_queries.py."""
+    import numpy as np
+
+    from .kernels.hashing import xxhash64_str
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    # deterministic hyperplanes: unit-free ±-ish weights from xxhash64
+    planes = np.array(
+        [
+            [
+                (xxhash64_str(f"plane|{p}|{d}") / 2**63)
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+    )
+    plane_lits = [F.array(*[F.lit(float(w)) for w in row]) for row in planes]
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sig = None
+    e = F.col("embedding")
+    for p, pl in enumerate(plane_lits):
+        bit = F.when(dot(e, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    signed = emb.withColumn("sig", sig.cast("int"))
+
+    first_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    qrow = signed.where(F.col("vec_id") == first_id).select("embedding", "sig").collect()[0]
+    q_lit, q_sig = F.lit(qrow[0]), int(qrow[1])
+    probe_sigs = [q_sig] + [q_sig ^ (1 << p) for p in range(n_planes)]
+
+    cand = signed.where(
+        F.col("sig").isin(*probe_sigs) & (F.col("vec_id") != first_id)
+    )
+    cos = dot(e, q_lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(q_lit, q_lit)))
+    return (
+        cand.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+QUERIES["embedding_ann_lsh"] = embedding_ann_lsh
+
+
 def crawl_t1_micro(spark, sf_dir):
     """The full crawl round loop on the deterministic t1-micro fixture —
     the flagship end-to-end pipeline (all operators O1-O19 composed).

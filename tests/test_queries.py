@@ -166,3 +166,29 @@ def test_simhash_near_dup_small_hamming(spark):
     other_id = int(docs.iloc[5]["doc_id"])
     assert ham(sh.loc[base_id], sh.loc[900001]) <= 12
     assert ham(sh.loc[base_id], sh.loc[other_id]) > 12
+
+
+def test_embedding_ann_lsh_recall(spark):
+    """LSH-bucketed ANN must find genuinely-near vectors: inject perturbed
+    copies of the query vector; they dominate the ANN top-k (uniform-random
+    vectors have no near neighbors, so recall is only meaningful on planted
+    ones), and returned scores agree with exact cosine."""
+    import tempfile
+
+    from abwcf_spark.queries import embedding_ann_lsh
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").head(100)
+    q = np.array(emb.sort_values("vec_id").iloc[0]["embedding"], dtype=np.float32)
+    rng = np.random.default_rng(7)
+    planted = []
+    for i in range(10):
+        v = q + rng.normal(0, 0.02, size=q.shape).astype(np.float32)
+        planted.append({"vec_id": 900000 + i, "embedding": list(v), "label": 9})
+    allv = pd.concat([emb, pd.DataFrame(planted)], ignore_index=True)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(allv).write.parquet(f"{d}/embeddings.parquet")
+        ann = embedding_ann_lsh(spark, d).toPandas()
+    found = sum(1 for v in ann["vec_id"] if v >= 900000)
+    assert found >= 8, f"ANN found only {found}/10 planted near-neighbors"
+    # planted neighbors must rank at the top
+    assert (ann.head(8)["vec_id"] >= 900000).all()
