@@ -168,10 +168,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    if data[:8] == _PNG_SIG:
-        return decode_png(data)
-    if data[:4] == _LOSSY_MAGIC:
-        return decode_lossy(data)
+    # truncated/garbled payloads must surface as ValueError (the validator's
+    # "corrupt payload" signal), never as a codec-internal exception that
+    # would kill the executor task
+    try:
+        if data[:8] == _PNG_SIG:
+            return decode_png(data)
+        if data[:4] == _LOSSY_MAGIC:
+            return decode_lossy(data)
+    except ValueError:
+        raise
+    except Exception as e:  # zlib.error, struct.error, reshape mismatch, ...
+        raise ValueError(f"corrupt image payload: {e}") from e
     raise ValueError("unknown image container")
 
 

@@ -77,10 +77,62 @@ def test_minhash_candidates_find_real_near_dups(spark):
         all_docs = pd.concat([docs, extra], ignore_index=True)
         spark.createDataFrame(all_docs).write.parquet(f"{d}/documents.parquet")
         pairs = minhash_lsh_candidates(spark, d).toPandas()
-    pset = {tuple(r) for r in pairs.itertuples(index=False)}
+    pset = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
     base_id = int(docs.iloc[0]["doc_id"])
     assert (base_id, 900001) in pset or (900001, base_id) in pset
     assert any(900002 in p for p in pset)
+    # the confirm stage: the exact duplicate must carry jaccard 1000
+    exact = pairs[(pairs.doc_a == min(base_id, 900001))
+                  & (pairs.doc_b == max(base_id, 900001))]
+    assert int(exact.jaccard_milli.iloc[0]) == 1000
+
+
+def test_minhash_bucket_cap_bounds_degenerate_skew(spark):
+    """A boilerplate corpus (hundreds of identical docs) lands in one LSH
+    bucket; the cap must drop it instead of emitting O(n²) pairs."""
+    import tempfile
+
+    from abwcf_spark.oracle_fixtures import MINHASH_BUCKET_CAP
+    from abwcf_spark.queries import minhash_lsh_candidates
+
+    boiler = "the same boilerplate text repeated for every single page here"
+    n = MINHASH_BUCKET_CAP + 30
+    docs = pd.DataFrame(
+        [{"doc_id": i, "text": boiler, "lang": "en", "source": "t",
+          "n_chars": len(boiler)} for i in range(n)]
+        + [{"doc_id": 7000 + i,
+            "text": f"unique document number {i} with distinct words {i * 17}",
+            "lang": "en", "source": "t", "n_chars": 50} for i in range(4)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs).write.parquet(f"{d}/documents.parquet")
+        pairs = minhash_lsh_candidates(spark, d).toPandas()
+    # every boilerplate bucket exceeds the cap → no pair may involve them
+    assert not ((pairs.doc_a < n) | (pairs.doc_b < n)).any(), (
+        f"cap leaked {len(pairs)} degenerate pairs"
+    )
+
+
+def test_embedding_ann_batch_matches_per_query_brute_force(spark):
+    """The batch ANN path must equal per-query brute force restricted to
+    each query's probe buckets, for every query in the table."""
+    from abwcf_spark.oracle_fixtures import (
+        ANN_BATCH_QUERIES,
+        ANN_BATCH_TOPK,
+        build_ann_batch,
+    )
+    from abwcf_spark.queries import embedding_ann_batch
+
+    got = (
+        embedding_ann_batch(spark, SF)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = build_ann_batch().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert got["q_id"].nunique() == min(ANN_BATCH_QUERIES, got["q_id"].nunique())
+    assert (got.groupby("q_id")["rank"].max() <= ANN_BATCH_TOPK).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_embedding_cosine_topk_matches_numpy(spark):
