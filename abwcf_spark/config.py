@@ -32,6 +32,11 @@ class CrawlConfig:
     remove_fragment: bool = True
     # Fetcher (reference.conf:132)
     max_content_length: int = 1_000_000
+    # True → derive out_links by parsing the body_html bytes in-loop with
+    # the HTML kernel (HtmlParser.scala:28-52: absolutize, first-occurrence
+    # distinct, http*-only, meta-robots nofollow kills the whole doc);
+    # False → trust the corpus's pre-extracted out_links column (fast path)
+    parse_html: bool = False
     # robots (reference.conf:203-230) — user-agent product tokens
     user_agents: tuple[str, ...] = ()
     # round protocol

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import STATUS_DISCOVERED, CrawlConfig
-from ..kernels.bloom import BloomFilter
+from ..kernels.bloom_shards import ShardedBloom
 from ..operators.round_ops import (
     advance_gates,
     assign_fetch_order,
@@ -60,7 +60,6 @@ from ..operators.round_ops import (
 )
 from ..operators.udfs import (
     PAYLOAD_CHECK_SCHEMA,
-    make_bloom_probe_udf,
     make_host_outcome_udf,
     make_normalize_udf,
     resolve_redirect_udf,
@@ -78,6 +77,25 @@ HOSTS_SCHEMA = (
     "crawl_delay long, valid_until long, next_free_ms long"
 )
 CANDIDATES_SCHEMA = "url string, crawl_depth int, seq long"
+
+
+def _default_payload_consumer(cfg: CrawlConfig):
+    """The built-in fetch-result consumer (FetchResultConsumer.scala:34-50
+    default impl + the graft's payload invariant): decode image bytes and
+    validate pixels/phash/caption for every well-formed 200 response."""
+
+    def consume(fetched: DataFrame) -> DataFrame:
+        return (
+            fetched.where(
+                (F.col("status_code") == 200)
+                & F.col("bytes").isNotNull()
+                & (F.length("bytes") <= F.lit(cfg.max_content_length))
+            )
+            .select("url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash")
+            .mapInPandas(validate_payload_batches, PAYLOAD_CHECK_SCHEMA)
+        )
+
+    return consume
 
 
 @dataclass
@@ -119,10 +137,23 @@ class SparkCrawler:
         bloom_capacity: int = 1 << 20,
         bloom_fpp: float = 0.01,
         use_bloom: bool = True,
+        bloom_shards: int = 16,
         n_salts: int = 0,
         validate_payloads: bool = False,
         collect_metrics: bool = True,
+        prioritizer=None,
+        fetch_consumer=None,
     ):
+        """User plug-points (api/UserCode.scala:34-35, :68-69):
+
+        - ``prioritizer`` — Column expression over (url, crawl_depth, host)
+          → long crawl_priority; replaces the built-in cfg.prioritizer.
+        - ``fetch_consumer`` — DataFrame→DataFrame callback applied to each
+          round's fetched rows (payload columns joined in); must return a
+          (url, payload_ok boolean) shape — failed rows are counted into
+          ``payload_failures``.  Default (with validate_payloads=True): the
+          image decode + PSNR/phash/caption validator.
+        """
         self.spark = spark
         self.cfg = cfg
         self.corpus = corpus
@@ -130,15 +161,25 @@ class SparkCrawler:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = checkpoint_interval
         self.use_bloom = use_bloom
+        self.work_dir = checkpoint_dir or tempfile.mkdtemp(prefix="abwcf-rounds-")
+        # executor-side sharded bloom (kernels/bloom_shards.py): the driver
+        # holds only the O(K) shard-version map; bit arrays live as versioned
+        # files next to the frontier snapshots and are read/written by tasks
         self.bloom = (
-            BloomFilter.for_capacity(bloom_capacity, bloom_fpp) if use_bloom else None
+            ShardedBloom(os.path.join(self.work_dir, "bloom"), bloom_capacity,
+                         bloom_fpp, n_shards=bloom_shards)
+            if use_bloom else None
         )
+        self._last_bloom_versions: dict[int, int] = {}
         self.n_salts = n_salts
         self.validate_payloads = validate_payloads
         self.collect_metrics = collect_metrics
+        self.prioritizer = prioritizer
+        self.fetch_consumer = fetch_consumer
+        if fetch_consumer is None and validate_payloads:
+            self.fetch_consumer = _default_payload_consumer(cfg)
 
         self.round_ms = int(cfg.round_seconds * 1000)
-        self.work_dir = checkpoint_dir or tempfile.mkdtemp(prefix="abwcf-rounds-")
         self._parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
         self._normalize_udf = make_normalize_udf(cfg)
         self._host_outcome_udf = make_host_outcome_udf(cfg)
@@ -150,7 +191,6 @@ class SparkCrawler:
         self.fetch_seq = 0
         self.metrics: list[dict] = []
         self.payload_failures = 0
-        self._bloom_bc = None
 
     # ------------------------------------------------------------------ run
     def seed(self, seeds: DataFrame) -> None:
@@ -237,7 +277,7 @@ class SparkCrawler:
         cand = dedup_in_round(cand)
         probe = None
         if self.bloom is not None and self.bloom.n_added > 0:
-            probe, self._bloom_bc = make_bloom_probe_udf(self.spark, self.bloom)
+            probe = self.bloom.make_probe_udf()
         cand = url_seen_filter(cand, self.frontier, probe)
         if self.collect_metrics:
             cand = self._mat(cand)
@@ -251,9 +291,20 @@ class SparkCrawler:
             m["lenient_passed"] = cand.count()
         _lap("cand")
 
-        # O16/O17 robots refresh for missing/expired candidate hosts
+        # O16/O17 robots refresh-on-ACCESS (HostManager.scala:187-189): a
+        # host is "accessed" when it has new candidates this round OR holds
+        # Discovered frontier rows awaiting fetch — BOTH trigger a refetch
+        # once rules expire, so a page discovered in round k and fetched in
+        # round k+n is gated by CURRENT rules, not round-k rules.
         hosts_valid = self.hosts.where(F.col("valid_until") > F.lit(now_ms))
-        need = cand.select("host").distinct().join(
+        access_hosts = cand.select("host").distinct()
+        if rnd > 0:
+            access_hosts = access_hosts.unionByName(
+                self.frontier.where(F.col("status") == STATUS_DISCOVERED)
+                .select("host")
+                .distinct()
+            ).distinct()
+        need = access_hosts.join(
             hosts_valid.select(F.col("scheme_and_authority").alias("host")),
             "host",
             "left_anti",
@@ -263,21 +314,48 @@ class SparkCrawler:
                 need, self.hosts, self.robots_corpus, now_ms, self._host_outcome_udf
             )
         )
+        n_refreshed = refreshed.count()
         if self.collect_metrics:
-            m["robots_fetched"] = refreshed.count()
+            m["robots_fetched"] = n_refreshed
         hosts_next = self.hosts.join(
             refreshed.select("scheme_and_authority"), "scheme_and_authority", "left_anti"
         ).unionByName(refreshed)
+
+        # fetch-time strict robots (StrictRobotsFilter.scala:72-133): rules
+        # changed only for hosts refreshed THIS round, so only their
+        # Discovered rows need re-evaluation (delta-scaled, not O(frontier));
+        # rows now disallowed are excluded from selection and flipped to the
+        # terminal Disallowed status in this round's merge.
+        newly_dis = None
+        if n_refreshed > 0 and rnd > 0:
+            rules = refreshed.select(
+                F.col("scheme_and_authority").alias("host"), "rule_mode", "robot_rules"
+            )
+            reeval = self.frontier.where(
+                F.col("status") == STATUS_DISCOVERED
+            ).join(F.broadcast(rules), "host")
+            newly_dis = self._mat(
+                reeval.where(
+                    ~F.coalesce(
+                        robots_allowed_udf(
+                            F.col("url"), F.col("rule_mode"), F.col("robot_rules")
+                        ),
+                        F.lit(False),  # fail CLOSED (StrictRobotsFilter.scala:79)
+                    )
+                ).select("url")
+            )
+            if newly_dis.isEmpty():
+                newly_dis = None
         _lap("robots")
 
-        # O5/O6 insert with strict-robots status
+        # O5/O6 insert with strict-robots status (user prioritizer honored)
         new_rows = self._mat(
-            insert_rows(cand, hosts_next, rnd, cfg, robots_allowed_udf)
+            insert_rows(cand, hosts_next, rnd, cfg, robots_allowed_udf,
+                        self.prioritizer)
         )
         if self.bloom is not None:
-            hashes = new_rows.select("url_hash").toPandas()["url_hash"].to_numpy()
-            self.bloom.add_hashes(hashes)
-            m["inserted"] = int(len(hashes))
+            # executor-side shard update: no row data crosses the driver
+            m["inserted"] = self.bloom.add_dataframe(new_rows, "url_hash", rnd)
         elif self.collect_metrics:
             m["inserted"] = new_rows.count()
         if self.collect_metrics:
@@ -293,6 +371,8 @@ class SparkCrawler:
         discovered = frontier.where(F.col("status") == STATUS_DISCOVERED).select(
             "url", "host", "crawl_priority", "crawl_depth"
         )
+        if newly_dis is not None:
+            discovered = discovered.join(F.broadcast(newly_dis), "url", "left_anti")
         sel = politeness_select(discovered, budgets, self.n_salts)
         sel = assign_fetch_order(sel, self.fetch_seq)
         sel = self._mat(
@@ -306,23 +386,16 @@ class SparkCrawler:
         fetched_counts = sel.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
         hosts_next2 = advance_gates(hosts_next, fetched_counts, rnd, self.round_ms)
 
-        # O10-O14 fetch + parse/emit; O15 payload validation
+        # O10-O14 fetch + parse/emit; O15 fetch-result consumer (user plug-
+        # point or the default payload validator)
         fetched, emitted = fetch_and_emit(sel, self.corpus, cfg, resolve_redirect_udf)
         validate = None
-        if self.validate_payloads and n_fetched:
-            checks = (
-                fetched.where(
-                    (F.col("status_code") == 200)
-                    & F.col("bytes").isNotNull()
-                    & (F.length("bytes") <= F.lit(cfg.max_content_length))
-                )
-                .select("url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash")
-                .mapInPandas(validate_payload_batches, PAYLOAD_CHECK_SCHEMA)
-            )
+        if self.fetch_consumer is not None and n_fetched:
+            checks = self.fetch_consumer(fetched)
             validate = lambda: checks.where(~F.col("payload_ok")).count()  # noqa: E731
 
-        # O5/O18 status MERGE
-        frontier_next = merge_fetch_statuses(frontier, sel, rnd)
+        # O5/O18 status MERGE (fetch set → Processed; strict flips → Disallowed)
+        frontier_next = merge_fetch_statuses(frontier, sel, rnd, newly_dis)
 
         # commit round state: durable parquet snapshot per round (the
         # Iceberg-commit analogue).  This, not localCheckpoint, is load-
@@ -342,9 +415,6 @@ class SparkCrawler:
         m["emitted"] = n_emitted
         _lap("commit")
         self.metrics.append(m)
-        if self._bloom_bc is not None:
-            self._bloom_bc.unpersist()
-            self._bloom_bc = None
 
         if n_emitted == 0:
             remaining = self.frontier.where(
@@ -421,9 +491,6 @@ class SparkCrawler:
             .write.mode("overwrite")
             .parquet(os.path.join(d, "partition_metrics"))
         )
-        if self.bloom is not None:
-            with open(os.path.join(d, "bloom.bin"), "wb") as f:
-                f.write(self.bloom.to_bytes())
         manifest = dict(
             round=self.rnd,
             fetch_seq=self.fetch_seq,
@@ -431,6 +498,15 @@ class SparkCrawler:
             metrics=self.metrics,
             use_bloom=self.bloom is not None,
         )
+        if self.bloom is not None:
+            manifest["bloom"] = self.bloom.to_manifest()
+            # prune shard versions no longer referenced by the current map
+            # or by the PREVIOUS manifest (a crash mid-checkpoint must still
+            # be able to resume from the previous one)
+            self.bloom.prune(
+                {s: {v} for s, v in self._last_bloom_versions.items()}
+            )
+            self._last_bloom_versions = dict(self.bloom.versions)
         tmp = os.path.join(d, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -461,8 +537,16 @@ class SparkCrawler:
         self.fetch_seq = int(manifest["fetch_seq"])
         self.payload_failures = int(manifest.get("payload_failures", 0))
         self.metrics = list(manifest.get("metrics", []))
-        bloom_path = os.path.join(d, "bloom.bin")
-        if manifest.get("use_bloom") and os.path.exists(bloom_path):
-            with open(bloom_path, "rb") as f:
-                self.bloom = BloomFilter.from_bytes(f.read())
         self._reload_from(d)
+        if self.use_bloom:
+            bdir = os.path.join(self.work_dir, "bloom")
+            if "bloom" in manifest:
+                self.bloom = ShardedBloom.from_manifest(bdir, manifest["bloom"])
+                self._last_bloom_versions = dict(self.bloom.versions)
+            else:
+                # snapshot carries no bloom state (written with
+                # use_bloom=False, or frontier rows were appended outside
+                # the round loop, e.g. streaming seed intake): a fresh empty
+                # bloom would "prove" frontier URLs new → duplicates.
+                # Rebuild the set from a frontier url_hash scan instead.
+                self.bloom.rebuild_from(self.frontier, self.rnd)

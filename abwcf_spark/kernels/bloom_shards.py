@@ -1,0 +1,198 @@
+"""Sharded, executor-side bloom URL-seen set — the 10^10-key scale path.
+
+Round 1 kept the bloom bit array ON THE DRIVER: every round `.toPandas()`'d
+all newly inserted url_hash values to mutate it, then re-broadcast the whole
+array (up to ~12 GB at 10^10-key capacity).  This module removes the driver
+from the data path entirely (reference analogue: the URL-seen state lives
+sharded across PageManager entities, ``/root/reference/src/main/scala/abwcf/
+actors/PageManager.scala:47-59``, never on one node):
+
+- the bit array is split into K shards by ``url_hash mod K`` (matches
+  ``F.pmod``: python's floored ``%`` is non-negative for positive K);
+- **update**: the round's inserted hashes are grouped by shard with
+  ``groupBy(shard).applyInPandas`` — each executor task ORs its shard's new
+  bit positions into the shard file and atomically renames a new version
+  into place (one writer per shard per round, guaranteed by the groupBy).
+  Only shard METADATA (id, row count) returns to the driver: O(K), not
+  O(rows);
+- **probe**: a pandas UDF whose closure carries only the tiny
+  ``{shard: version}`` map; executors read (and LRU-cache) immutable
+  versioned shard files from shared storage.  A negative probe proves the
+  URL was never inserted; positives fall through to the exact anti-join.
+
+Shard files live under ``<dir>/shard=S/v=R.bin`` (R = round that wrote it);
+versioned files are immutable, so worker caches never go stale and a killed
+run resumes from whatever version map its manifest recorded.  The local
+filesystem stands in for the cluster's shared store (DFS/object store) —
+on a real cluster each executor pulls only the shards its tasks touch
+(12 GB / 1024 shards ≈ 12 MB per shard at the design point).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+
+from .bloom import BloomFilter
+
+# per-worker cache of immutable shard files: path -> uint64 words
+_SHARD_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
+_SHARD_CACHE_MAX = 64
+
+
+def _load_words(path: str, n_words: int) -> np.ndarray:
+    words = _SHARD_CACHE.get(path)
+    if words is None:
+        words = np.fromfile(path, dtype=np.uint64)
+        assert len(words) == n_words, f"shard file {path}: {len(words)} != {n_words}"
+        _SHARD_CACHE[path] = words
+        while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+            _SHARD_CACHE.popitem(last=False)
+    else:
+        _SHARD_CACHE.move_to_end(path)
+    return words
+
+
+def _shard_view(words: np.ndarray, n_hashes: int) -> BloomFilter:
+    bf = BloomFilter(len(words) * 64, n_hashes)
+    bf.words = words
+    return bf
+
+
+class ShardedBloom:
+    def __init__(self, directory: str, capacity: int, fpp: float = 0.01,
+                 n_shards: int = 16):
+        self.dir = directory
+        self.n_shards = int(n_shards)
+        per_shard = max(int(capacity) // self.n_shards, 64)
+        proto = BloomFilter.for_capacity(per_shard, fpp)
+        self.n_bits = proto.n_bits
+        self.n_hashes = proto.n_hashes
+        self.n_words = self.n_bits // 64
+        self.versions: dict[int, int] = {}   # shard -> round version
+        self.n_added = 0
+
+    # ------------------------------------------------------------- metadata
+    def to_manifest(self) -> dict:
+        return dict(
+            n_shards=self.n_shards, n_bits=self.n_bits, n_hashes=self.n_hashes,
+            n_added=self.n_added,
+            versions={str(s): v for s, v in self.versions.items()},
+        )
+
+    @classmethod
+    def from_manifest(cls, directory: str, m: dict) -> "ShardedBloom":
+        sb = cls.__new__(cls)
+        sb.dir = directory
+        sb.n_shards = int(m["n_shards"])
+        sb.n_bits = int(m["n_bits"])
+        sb.n_hashes = int(m["n_hashes"])
+        sb.n_words = sb.n_bits // 64
+        sb.versions = {int(s): int(v) for s, v in m["versions"].items()}
+        sb.n_added = int(m["n_added"])
+        return sb
+
+    def _path(self, shard: int, version: int) -> str:
+        return os.path.join(self.dir, f"shard={shard:05d}", f"v={version:06d}.bin")
+
+    # ------------------------------------------------------------- update
+    def add_dataframe(self, df, hash_col: str, rnd: int) -> int:
+        """OR the hashes of ``df[hash_col]`` into the shard files, executor-
+        side, as version ``rnd``.  Returns rows added; driver traffic is one
+        (shard, count) row per touched shard."""
+        from pyspark.sql import functions as F
+
+        directory, n_shards = self.dir, self.n_shards
+        n_bits, n_hashes, n_words = self.n_bits, self.n_hashes, self.n_words
+        versions = dict(self.versions)
+
+        def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(key[0])
+            hashes = pdf["_h"].to_numpy(dtype=np.int64)
+            cur = versions.get(shard)
+            bf = BloomFilter(n_bits, n_hashes)
+            if cur is not None:
+                path = os.path.join(directory, f"shard={shard:05d}",
+                                    f"v={cur:06d}.bin")
+                bf.words = np.fromfile(path, dtype=np.uint64)
+            bf.add_hashes(hashes)
+            out = os.path.join(directory, f"shard={shard:05d}", f"v={rnd:06d}.bin")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = out + f".tmp{os.getpid()}"
+            bf.words.tofile(tmp)
+            os.replace(tmp, out)
+            return pd.DataFrame({"shard": [shard], "n": [len(hashes)]})
+
+        rows = (
+            df.select(F.col(hash_col).alias("_h"))
+            .withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)))
+            .groupBy("_shard")
+            .applyInPandas(write_shard, "shard int, n long")
+            .collect()
+        )
+        added = 0
+        for r in rows:
+            self.versions[int(r.shard)] = rnd
+            added += int(r.n)
+        self.n_added += added
+        return added
+
+    # ------------------------------------------------------------- probe
+    def make_probe_udf(self):
+        """pandas UDF over signed-64 hash values → boolean maybe-seen.
+        Closure state: the O(K) version map only — no bit-array broadcast."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import BooleanType
+
+        directory, n_shards = self.dir, self.n_shards
+        n_hashes, n_words = self.n_hashes, self.n_words
+        versions = dict(self.versions)
+
+        @F.pandas_udf(BooleanType())
+        def probe(hashes: pd.Series) -> pd.Series:
+            h = hashes.to_numpy(dtype=np.int64)
+            out = np.zeros(len(h), dtype=bool)
+            shards = h % n_shards  # signed floored mod == pmod (non-negative)
+            for shard in np.unique(shards):
+                v = versions.get(int(shard))
+                if v is None:
+                    continue  # empty shard: provably never inserted
+                path = os.path.join(directory, f"shard={int(shard):05d}",
+                                    f"v={v:06d}.bin")
+                words = _load_words(path, n_words)
+                mask = shards == shard
+                out[mask] = _shard_view(words, n_hashes).might_contain(h[mask])
+            return pd.Series(out, index=hashes.index)
+
+        return probe
+
+    # ------------------------------------------------------------- rebuild
+    def rebuild_from(self, frontier, rnd: int) -> int:
+        """Coherence repair: reconstruct the whole set from a frontier
+        url_hash scan (restore-without-bloom-state, or external appends that
+        bypassed the round loop)."""
+        self.versions = {}
+        self.n_added = 0
+        return self.add_dataframe(frontier.select("url_hash"), "url_hash", rnd)
+
+    def prune(self, keep_versions: dict[int, set[int]] | None = None) -> None:
+        """Delete shard file versions not referenced by the current map nor
+        by ``keep_versions`` (the last manifested map) — called at
+        checkpoint time so a crash can never orphan a referenced version."""
+        keep_versions = keep_versions or {}
+        if not os.path.isdir(self.dir):
+            return
+        for ent in os.listdir(self.dir):
+            if not ent.startswith("shard="):
+                continue
+            shard = int(ent.split("=", 1)[1])
+            keep = {self.versions.get(shard)} | set(keep_versions.get(shard, ()))
+            sd = os.path.join(self.dir, ent)
+            for f in os.listdir(sd):
+                if f.startswith("v=") and f.endswith(".bin"):
+                    v = int(f[2:-4])
+                    if v not in keep:
+                        os.unlink(os.path.join(sd, f))

@@ -140,10 +140,20 @@ def robots_refresh(
         F.col("crawl_delay").alias("_old_delay"),
         F.col("next_free_ms").alias("_old_gate"),
     )
+    # time-varying robots "server": from switch_ms on, the host serves
+    # robots_body2 — a refresh after expiry then compiles different rules
+    # (the mid-crawl rule-change scenario of the fetch-time strict filter)
+    if "robots_body2" in robots_corpus.columns:
+        body = F.when(
+            F.col("switch_ms").isNotNull() & (F.lit(now_ms) >= F.col("switch_ms")),
+            F.col("robots_body2"),
+        ).otherwise(F.col("robots_body"))
+    else:
+        body = F.col("robots_body")
     rb = robots_corpus.select(
         F.col("scheme_and_authority").alias("host"),
         "fetch_outcome",
-        "robots_body",
+        body.alias("robots_body"),
     )
     j = (
         need_hosts.join(F.broadcast(rb), "host", "left")
@@ -182,11 +192,20 @@ def priority_column(cfg: CrawlConfig) -> Column:
 
 
 def insert_rows(
-    cand: DataFrame, hosts: DataFrame, rnd: int, cfg: CrawlConfig, robots_allowed_udf
+    cand: DataFrame,
+    hosts: DataFrame,
+    rnd: int,
+    cfg: CrawlConfig,
+    robots_allowed_udf,
+    priority_col: Column | None = None,
 ) -> DataFrame:
     """Frontier insert with strict-robots status (StrictRobotsFilter.scala:
     72-133 — rules are guaranteed present post-refresh; disallowed rows are
-    URL-seen but marked Disallowed, never fetched)."""
+    URL-seen but marked Disallowed, never fetched).
+
+    ``priority_col``: user-pluggable prioritizer (UserCode.scala:34-35) — a
+    Column expression over (url, crawl_depth, host) returning long; None →
+    the built-in chosen by cfg.prioritizer."""
     h = hosts.select(
         F.col("scheme_and_authority").alias("host"), "rule_mode", "robot_rules"
     )
@@ -203,7 +222,9 @@ def insert_rows(
         .otherwise(F.lit(STATUS_DISALLOWED))
         .alias("status"),
         F.col("crawl_depth").cast("int").alias("crawl_depth"),
-        priority_column(cfg).alias("crawl_priority"),
+        (priority_col if priority_col is not None else priority_column(cfg))
+        .cast("long")
+        .alias("crawl_priority"),
         F.lit(rnd).alias("discovered_round"),
         F.lit(None).cast("int").alias("fetched_round"),
         F.lit(None).cast("long").alias("fetch_order"),
@@ -356,18 +377,27 @@ def fetch_and_emit(
     too_big = F.col("bytes").isNotNull() & (
         F.length(F.col("bytes")) > F.lit(cfg.max_content_length)
     )
-    parse_ok = fetched.where(
+    gate = (
         (sc == 200)
         & ~too_big
         & F.col("content_type").isin(*PARSEABLE_CONTENT_TYPES)
         & (F.col("crawl_depth") < F.lit(cfg.max_crawl_depth))
         & ~_nofollow_col(F.col("x_robots_tag"))
-        & ~_nofollow_col(F.col("meta_robots"))
     )
-    links = parse_ok.select(
+    if cfg.parse_html:
+        # live HTML parse: links come out of the body bytes via the kernel
+        # UDF (which also enforces the meta-robots nofollow document kill —
+        # HtmlParser.scala:65-72 — so no separate meta column gate here)
+        from .udfs import extract_links_udf
+
+        out_links = extract_links_udf(F.col("body_html"), F.col("url"))
+    else:
+        gate = gate & ~_nofollow_col(F.col("meta_robots"))
+        out_links = F.col("out_links")
+    links = fetched.where(gate).select(
         F.col("crawl_depth"),
         F.col("fetch_order"),
-        F.posexplode_outer("out_links").alias("_pos", "_link"),
+        F.posexplode_outer(out_links).alias("_pos", "_link"),
     ).where(F.col("_link").isNotNull()).select(
         F.col("_link").alias("url"),
         (F.col("crawl_depth") + 1).cast("int").alias("crawl_depth"),
@@ -378,25 +408,40 @@ def fetch_and_emit(
 
 # -- O5/O15/O18: status MERGE -------------------------------------------------
 
-def merge_fetch_statuses(frontier: DataFrame, sel: DataFrame, rnd: int) -> DataFrame:
+def merge_fetch_statuses(
+    frontier: DataFrame, sel: DataFrame, rnd: int, disallow: DataFrame | None = None
+) -> DataFrame:
     """MERGE the round's fetch set into the frontier: Discovered→Processed +
     fetched_round + fetch_order (PageManager.scala:139 status update batch,
     FetchResultConsumer.scala:34-50 default consumer marks Processed).  The
-    update side is one round's fetch set — broadcast against the big table."""
+    update side is one round's fetch set — broadcast against the big table.
+
+    ``disallow``: urls flipped Discovered→Disallowed by the fetch-time
+    strict re-evaluation (StrictRobotsFilter.scala:128-131 SetStatus) —
+    disjoint from the fetch set by construction (they were excluded from
+    selection), applied in the same single pass."""
     upd = sel.select("url", F.col("fetch_order").alias("_fo"))
+    j = frontier.join(F.broadcast(upd), "url", "left")
     hit = F.col("_fo").isNotNull()
-    return (
-        frontier.join(F.broadcast(upd), "url", "left")
-        .select(
+    status = F.when(hit, F.lit(STATUS_PROCESSED))
+    if disallow is not None:
+        j = j.join(
+            F.broadcast(disallow.select("url", F.lit(True).alias("_dis"))),
             "url",
-            "url_hash",
-            "host",
-            F.when(hit, F.lit(STATUS_PROCESSED)).otherwise(F.col("status")).alias("status"),
-            "crawl_depth",
-            "crawl_priority",
-            "discovered_round",
-            F.when(hit, F.lit(rnd)).otherwise(F.col("fetched_round")).cast("int").alias("fetched_round"),
-            F.coalesce(F.col("_fo"), F.col("fetch_order")).alias("fetch_order"),
-            "partition_id",
+            "left",
         )
+        status = status.when(
+            F.coalesce(F.col("_dis"), F.lit(False)), F.lit(STATUS_DISALLOWED)
+        )
+    return j.select(
+        "url",
+        "url_hash",
+        "host",
+        status.otherwise(F.col("status")).alias("status"),
+        "crawl_depth",
+        "crawl_priority",
+        "discovered_round",
+        F.when(hit, F.lit(rnd)).otherwise(F.col("fetched_round")).cast("int").alias("fetched_round"),
+        F.coalesce(F.col("_fo"), F.col("fetch_order")).alias("fetch_order"),
+        "partition_id",
     )

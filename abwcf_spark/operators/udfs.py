@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StringType,
@@ -88,6 +89,16 @@ def make_host_outcome_udf(cfg: CrawlConfig):
         return out
 
     return host_outcome_udf
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_links_udf(bodies: pd.Series, urls: pd.Series) -> pd.Series:
+    """HTML link extraction (HtmlParser.scala:28-52) over raw body bytes:
+    absolutized, first-occurrence-distinct, http*-only; meta-robots
+    nofollow (:65-72) empties the doc.  Arrow-batched; regex engine is C."""
+    from ..kernels.links import extract_links_series
+
+    return extract_links_series(bodies, urls)
 
 
 @F.pandas_udf(StringType())

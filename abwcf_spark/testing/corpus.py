@@ -54,8 +54,18 @@ class CorpusSpec:
     unavailable_hosts: tuple[int, ...] = ()   # robots 4xx → ALLOW_ALL
     unreachable_hosts: tuple[int, ...] = ()   # robots 5xx → ALLOW_NONE
     crawl_delays: dict[int, float] = field(default_factory=dict)  # host idx → seconds
+    # host idx → (switch_at_seconds, new robots body): the robots "server"
+    # starts returning the new body at that virtual time — exercises the
+    # fetch-time strict re-evaluation after TTL expiry
+    # (StrictRobotsFilter.scala:72-133 + HostManager.scala:187-189)
+    robots_changes: dict[int, tuple[float, str]] = field(default_factory=dict)
     with_images: bool = True        # False skips byte payloads (fast graph-only tests)
     fanout: int = 2                 # link-tree fanout (children of j: fanout*j+1..+fanout)
+    # True → every parseable page also carries a body_html column with REAL
+    # <a href> markup (same links, some same-host ones as relative hrefs,
+    # meta-robots embedded); the engine's parse_html mode extracts links
+    # from these bytes in-loop (HtmlParser.scala:28-52)
+    html_bodies: bool = False
 
 
 def host_name(i: int) -> str:
@@ -127,6 +137,27 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
                 if j % 7 == 3:
                     links.append(f"{host_name(hi)}/private/{j}")  # robots-disallowed path
             nofollow = spec.nofollow_rate and j % spec.nofollow_rate == spec.nofollow_rate - 1
+            meta_robots = "nofollow" if (nofollow and hv % 2 == 1) else None
+            body_html = None
+            if spec.html_bodies and status == 200:
+                # real anchor markup; every other same-host link rendered as
+                # a RELATIVE href (exercises urljoin absolutization), meta
+                # robots embedded in the head (HtmlParser.scala:65-72 path)
+                anchors = []
+                for li, link in enumerate(links):
+                    href = link
+                    prefix = host_name(hi)
+                    if link.startswith(prefix + "/") and li % 2 == 0:
+                        href = link[len(prefix):]
+                    anchors.append(f'<a href="{href}">l{li}</a>')
+                meta = (
+                    f'<meta name="robots" content="{meta_robots}">'
+                    if meta_robots else ""
+                )
+                body_html = (
+                    f"<html><head><title>{url}</title>{meta}</head>"
+                    f"<body>{''.join(anchors)}</body></html>"
+                ).encode("utf-8")
             if spec.with_images and status == 200:
                 px = gen_pixels(image_id, w, h)
                 payload = encode_image(px, fmt)
@@ -148,8 +179,9 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
                                  ("image/" + fmt if status == 200 else "text/plain"),
                     redirect_to=redirect_to,
                     x_robots_tag="noindex, nofollow" if (nofollow and hv % 2 == 0) else None,
-                    meta_robots="nofollow" if (nofollow and hv % 2 == 1) else None,
+                    meta_robots=meta_robots,
                     out_links=links,
+                    body_html=body_html,
                 )
             )
     corpus = pd.DataFrame(rows)
@@ -157,10 +189,15 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
     robots_rows = []
     for hi in range(spec.n_hosts):
         sa = host_name(hi)
+        change = spec.robots_changes.get(hi)
+        body2 = change[1] if change else None
+        switch_ms = int(change[0] * 1000) if change else None
         if hi in spec.unavailable_hosts:
-            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unavailable", robots_body=None))
+            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unavailable",
+                                    robots_body=None, robots_body2=body2, switch_ms=switch_ms))
         elif hi in spec.unreachable_hosts:
-            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unreachable", robots_body=None))
+            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unreachable",
+                                    robots_body=None, robots_body2=body2, switch_ms=switch_ms))
         else:
             delay = spec.crawl_delays.get(hi, 1.0)
             body = (
@@ -170,8 +207,16 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
             )
             if hi % 3 == 1:
                 body += "Allow: /private/open/\nDisallow: /*.bin$\n"
-            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="ok", robots_body=body))
+            robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="ok",
+                                    robots_body=body, robots_body2=body2, switch_ms=switch_ms))
     robots = pd.DataFrame(robots_rows)
+    # None+int mix makes pandas infer float64 for switch_ms — force a true
+    # object column of ints (LongType rejects floats at Spark construction)
+    robots["switch_ms"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in robots["switch_ms"]],
+        index=robots.index,
+        dtype="object",
+    )
 
     seeds = pd.DataFrame(
         [
@@ -197,6 +242,22 @@ T2_MULTI = CorpusSpec(
     unavailable_hosts=(5,),
     unreachable_hosts=(6,),
     crawl_delays={2: 2.0, 3: 0.5},
+)
+# TTL-expiry-mid-crawl: giant virtual rounds (20000 s) make the 24 h robots
+# lifetime expire at round 5; host 0's robots flips at virtual t=60000 s to
+# additionally disallow the /p/1 prefix, so Discovered-but-not-yet-fetched
+# rows must be re-evaluated AT FETCH TIME with the refreshed rules and
+# flipped to Disallowed (StrictRobotsFilter.scala:72-133; refresh-on-access
+# HostManager.scala:187-189).  max_fetches_per_host_per_round=1 keeps a
+# standing queue so rows actually straddle the expiry.
+T2_TTLFLIP = CorpusSpec(
+    n_hosts=2,
+    urls_per_host=12,
+    seed_hosts=2,
+    redirect_rate=0,
+    error_rate=0,
+    nofollow_rate=0,
+    robots_changes={0: (60_000.0, "User-agent: *\nDisallow: /p/\nCrawl-delay: 1\n")},
 )
 T2_SKEW = CorpusSpec(
     n_hosts=8,

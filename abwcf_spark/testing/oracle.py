@@ -122,7 +122,10 @@ def crawl_oracle(
     seeds: pd.DataFrame,
     cfg: CrawlConfig = CrawlConfig(),
     validate_payloads: bool = False,
+    prioritizer_fn=None,
 ) -> OracleResult:
+    """``prioritizer_fn``: optional (url, depth) → int — the oracle twin of
+    the engine's user prioritizer plug-point (UserCode.scala:34-35)."""
     corpus_by_url = {r["url"]: r for r in corpus.to_dict("records")}
     robots_by_sa = {r["scheme_and_authority"]: r for r in robots.to_dict("records")}
 
@@ -180,11 +183,15 @@ def crawl_oracle(
             lenient_pass[url] = ds
         m["lenient_passed"] = len(lenient_pass)
 
-        # 7: robots refresh for candidate hosts missing/expired
+        # 7: robots refresh-on-ACCESS for missing/expired hosts — accessed =
+        # has candidates this round OR holds Discovered rows awaiting fetch
+        # (HostManager.scala:187-189: any access of expired rules refetches)
+        access = {_sa(u) for u in lenient_pass} | {
+            r["host"] for r in frontier.values() if r["status"] == STATUS_DISCOVERED
+        }
         need = {
-            _sa(u)
-            for u in lenient_pass
-            if _sa(u) not in hosts or hosts[_sa(u)]["valid_until"] <= now_ms
+            sa for sa in access
+            if sa not in hosts or hosts[sa]["valid_until"] <= now_ms
         }
         for sa in sorted(need):
             rb = robots_by_sa.get(sa)
@@ -194,8 +201,15 @@ def crawl_oracle(
                 # reuse expired rules, bump valid_until 1 h (HostManager.scala:149-154)
                 old["valid_until"] = now_ms + UNREACHABLE_RULES_LIFETIME_S * 1000
                 continue
+            body = rb["robots_body"] if rb else None
+            if rb is not None:
+                # time-varying robots "server" (fetch-time strict fixture)
+                b2, sw = rb.get("robots_body2"), rb.get("switch_ms")
+                if b2 is not None and not pd.isna(b2) and sw is not None \
+                        and not pd.isna(sw) and now_ms >= int(sw):
+                    body = b2
             mode, rules, delay, lifetime_s = host_outcome(
-                outcome, rb["robots_body"] if rb else None, cfg.user_agents
+                outcome, body, cfg.user_agents
             )
             hosts[sa] = dict(
                 rule_mode=mode,
@@ -204,6 +218,18 @@ def crawl_oracle(
                 valid_until=now_ms + lifetime_s * 1000,
             )
         m["robots_fetched"] = len(need)
+
+        # 7.5: fetch-time strict re-evaluation (StrictRobotsFilter.scala:
+        # 72-133): Discovered rows of hosts refreshed THIS round are re-
+        # checked against the CURRENT rules; disallowed → terminal
+        # Disallowed, never fetched.  Rules unchanged → decision unchanged,
+        # so only refreshed hosts need the pass.
+        if rnd > 0:
+            for url, row in frontier.items():
+                if row["status"] == STATUS_DISCOVERED and row["host"] in need:
+                    h = hosts[row["host"]]
+                    if not robots_allowed(url, h["rule_mode"], h["robot_rules"]):
+                        row["status"] = STATUS_DISALLOWED
 
         # 8: insert + strict robots
         inserted = disallowed = 0
@@ -216,7 +242,11 @@ def crawl_oracle(
                 host=sa,
                 status=STATUS_DISCOVERED if allowed else STATUS_DISALLOWED,
                 crawl_depth=depth,
-                crawl_priority=priority_of(url, depth, cfg.prioritizer),
+                crawl_priority=(
+                    prioritizer_fn(url, depth)
+                    if prioritizer_fn is not None
+                    else priority_of(url, depth, cfg.prioritizer)
+                ),
                 discovered_round=rnd,
                 fetched_round=None,
                 fetch_order=None,
@@ -273,9 +303,17 @@ def crawl_oracle(
                         and str(page.get("content_type", "")) in PARSEABLE_CONTENT_TYPES
                         and row["crawl_depth"] < cfg.max_crawl_depth
                         and not _nofollow(page.get("x_robots_tag"))
-                        and not _nofollow(page.get("meta_robots"))
+                        and (cfg.parse_html or not _nofollow(page.get("meta_robots")))
                     ):
-                        for pos, link in enumerate(page.get("out_links") or []):
+                        if cfg.parse_html:
+                            # live HTML parse path (HtmlParser.scala:28-52);
+                            # the kernel handles meta-robots nofollow itself
+                            from ..kernels.links import extract_links
+
+                            out = extract_links(page.get("body_html"), url)
+                        else:
+                            out = page.get("out_links") or []
+                        for pos, link in enumerate(out):
                             emitted.append(
                                 (
                                     link,

@@ -10,9 +10,12 @@ CORPUS_SCHEMA = (
     "url string, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, status_code int, content_type string, "
     "redirect_to string, x_robots_tag string, meta_robots string, "
-    "out_links array<string>"
+    "out_links array<string>, body_html binary"
 )
-ROBOTS_SCHEMA = "scheme_and_authority string, fetch_outcome string, robots_body string"
+ROBOTS_SCHEMA = (
+    "scheme_and_authority string, fetch_outcome string, robots_body string, "
+    "robots_body2 string, switch_ms long"
+)
 SEEDS_SCHEMA = "url string, seq int"
 
 

@@ -99,6 +99,10 @@ def materialize_corpus() -> dict[str, str]:
         return paths
     os.makedirs(d, exist_ok=True)
     tables = gen_corpus(spec)
+    # all-null binary column would be written as parquet NULL type — drop it
+    # (the bench crawl runs the pre-extracted out_links fast path anyway)
+    if "body_html" in tables["corpus"] and tables["corpus"]["body_html"].isna().all():
+        tables["corpus"] = tables["corpus"].drop(columns=["body_html"])
     for name, pdf in tables.items():
         # small row groups are load-bearing: a parquet ROW GROUP is the unit
         # of split, and a single-row-group 700MB file serializes every scan

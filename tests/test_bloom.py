@@ -64,3 +64,47 @@ def test_empty_probe_and_add():
     bf.add_hashes(np.array([], dtype=np.int64))
     assert bf.might_contain(np.array([], dtype=np.int64)).shape == (0,)
     assert not bf.might_contain(keys(10)).any()
+
+
+def test_sharded_bloom_probe_and_update(spark, tmp_path):
+    """ShardedBloom: executor-side update + probe must agree with the
+    single-array BloomFilter semantics — no false negatives, bounded fpp,
+    and only O(shards) metadata returns to the driver."""
+    import numpy as np
+
+    from abwcf_spark.kernels.bloom_shards import ShardedBloom
+    from abwcf_spark.kernels.hashing import xxhash64_str
+
+    sb = ShardedBloom(str(tmp_path / "bloom"), capacity=10_000, n_shards=8)
+    member = [f"https://s{i}.example/p/{i}" for i in range(2_000)]
+    other = [f"https://o{i}.example/q/{i}" for i in range(2_000)]
+    df = spark.createDataFrame(
+        [(xxhash64_str(u),) for u in member], "url_hash long"
+    ).repartition(8)
+    added = sb.add_dataframe(df, "url_hash", rnd=0)
+    assert added == len(member)
+    assert 0 < len(sb.versions) <= 8
+
+    from pyspark.sql import functions as F
+
+    probe = sb.make_probe_udf()
+    all_urls = spark.createDataFrame(
+        [(u, xxhash64_str(u)) for u in member + other], "url string, h long"
+    )
+    got = {
+        r.url: r.maybe
+        for r in all_urls.select("url", probe(F.col("h")).alias("maybe")).collect()
+    }
+    assert all(got[u] for u in member), "false negative: member probed absent"
+    fp = sum(1 for u in other if got[u]) / len(other)
+    assert fp < 0.05, f"fpp too high: {fp}"
+
+    # incremental second round only rewrites touched shards as new versions
+    df2 = spark.createDataFrame(
+        [(xxhash64_str(f"https://n{i}.example/{i}"),) for i in range(100)],
+        "url_hash long",
+    )
+    v_before = dict(sb.versions)
+    sb.add_dataframe(df2, "url_hash", rnd=1)
+    assert any(v == 1 for v in sb.versions.values())
+    assert all(sb.versions[s] >= v for s, v in v_before.items())

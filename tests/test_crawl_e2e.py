@@ -11,7 +11,14 @@ import pytest
 from abwcf_spark.config import CrawlConfig
 from abwcf_spark.engine.crawler import SparkCrawler
 from abwcf_spark.testing.compare import assert_crawl_equal
-from abwcf_spark.testing.corpus import T1_MICRO, T2_MULTI, T2_SKEW, CorpusSpec, gen_corpus
+from abwcf_spark.testing.corpus import (
+    T1_MICRO,
+    T2_MULTI,
+    T2_SKEW,
+    T2_TTLFLIP,
+    CorpusSpec,
+    gen_corpus,
+)
 from abwcf_spark.testing.oracle import crawl_oracle
 from abwcf_spark.testing.spark_fixtures import corpus_to_spark
 
@@ -64,6 +71,45 @@ def test_t2_skew_salted(spark):
     assert_crawl_equal(res, oracle)
 
 
+def test_ttl_expiry_strict_reeval_at_fetch_time(spark):
+    """Rules change mid-crawl: host 0's robots flips to disallow ALL of /p/
+    at virtual t=60000s; the 24h TTL expires at round 5 (20000s rounds), the
+    refresh-on-access refetches, and every Discovered-but-unfetched host-0
+    row must flip to Disallowed AT FETCH TIME — exactly as the oracle's
+    re-expression of StrictRobotsFilter + HostManager refresh-on-access."""
+    cfg = CrawlConfig(round_seconds=20_000.0, max_fetches_per_host_per_round=1)
+    res, oracle = run_both(spark, T2_TTLFLIP, cfg)
+    assert_crawl_equal(res, oracle)
+    pdf = res.frontier_pdf()
+    flipped = pdf[
+        (pdf["status"] == "Disallowed")
+        & pdf["url"].str.contains("h0.example/p/")
+        & (pdf["discovered_round"] < 5)
+    ]
+    # rows inserted as Discovered under the old rules, disallowed later
+    assert len(flipped) > 0, "no fetch-time strict flips happened — fixture dead"
+    # and none of them were ever fetched
+    assert flipped["fetch_order"].isna().all()
+
+
+def test_html_bytes_parse_path(spark):
+    """parse_html mode: out_links are derived IN-LOOP from real <a href>
+    markup (relative hrefs absolutized, first-occurrence distinct, meta-
+    robots nofollow kills the doc — HtmlParser.scala:28-72) by the same
+    kernel the oracle runs; crawl order and frontier must match exactly."""
+    spec = CorpusSpec(
+        n_hosts=3, urls_per_host=16, seed_hosts=2, nofollow_rate=5,
+        html_bodies=True, with_images=False,
+    )
+    cfg = CrawlConfig(round_seconds=4.0, parse_html=True)
+    res, oracle = run_both(spark, spec, cfg)
+    assert_crawl_equal(res, oracle)
+    pdf = res.frontier_pdf()
+    # the crawl actually expanded through parsed links (not just seeds)
+    assert (pdf["crawl_depth"] > 0).any()
+    assert res.fetch_seq > spec.seed_hosts
+
+
 def test_depth_limit_cuts_expansion_not_fetch(spark):
     cfg = CrawlConfig(max_crawl_depth=2)
     res, oracle = run_both(spark, T1_MICRO, cfg)
@@ -80,6 +126,68 @@ def test_url_filter_must_not_match(spark):
     res, oracle = run_both(spark, T1_MICRO, cfg)
     assert_crawl_equal(res, oracle)
     assert not res.frontier_pdf()["url"].str.match(r".*/p/\d*[13579]$").any()
+
+
+def test_custom_prioritizer_plug_point(spark):
+    """A non-builtin prioritizer (UserCode.scala:34-35 plug-point): priority
+    = len(url)*1000 - depth, supplied as a Column to the engine and as a
+    python fn to the oracle — exact parity, and provably different ordering
+    from the default."""
+    from pyspark.sql import functions as F
+
+    cfg = CrawlConfig(round_seconds=4.0)
+    tables = gen_corpus(T2_MULTI)
+    oracle = crawl_oracle(
+        tables["corpus"], tables["robots"], tables["seeds"], cfg,
+        prioritizer_fn=lambda url, depth: len(url) * 1000 - depth,
+    )
+    sdfs = corpus_to_spark(spark, tables)
+    crawler = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], cfg, collect_metrics=False,
+        prioritizer=(F.length("url") * 1000 - F.col("crawl_depth")).cast("long"),
+    )
+    res = crawler.run(seeds=sdfs["seeds"])
+    assert_crawl_equal(res, oracle)
+    default_oracle = crawl_oracle(
+        tables["corpus"], tables["robots"], tables["seeds"], cfg
+    )
+    assert [u for _, u in oracle.crawl_order] != [
+        u for _, u in default_oracle.crawl_order
+    ], "custom prioritizer did not change the crawl order — test is vacuous"
+
+
+def test_custom_fetch_consumer_plug_point(spark):
+    """A user fetch-result consumer (UserCode.scala:68-69 plug-point): flag
+    every fetched url ending in an odd digit; the engine must count exactly
+    those as failures."""
+    from pyspark.sql import functions as F
+
+    spec = CorpusSpec(n_hosts=2, urls_per_host=12, seed_hosts=2, with_images=False)
+    tables = gen_corpus(spec)
+    sdfs = corpus_to_spark(spark, tables)
+
+    def consumer(fetched):
+        return fetched.select(
+            "url", (~F.col("url").rlike("[13579]$")).alias("payload_ok")
+        )
+
+    crawler = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], collect_metrics=False,
+        fetch_consumer=consumer,
+    )
+    res = crawler.run(seeds=sdfs["seeds"])
+    oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"])
+    assert_crawl_equal(res, oracle)
+    # consumer sees only urls present in the corpus (the fetch join is the
+    # payload lookup; dead links fetch nothing)
+    corpus_urls = set(tables["corpus"]["url"])
+    import re
+
+    want = sum(
+        1 for _, u in oracle.crawl_order
+        if u in corpus_urls and re.search(r"[13579]$", u)
+    )
+    assert want > 0 and res.payload_failures == want
 
 
 def test_payload_validation_all_pass(spark):

@@ -54,6 +54,35 @@ def test_kill_resume_byte_identical(spark, tmp_path):
     assert res_a.rounds == res_b.rounds
 
 
+def test_resume_rebuilds_bloom_when_snapshot_has_none(spark, tmp_path):
+    """Coherence repair: a snapshot written with use_bloom=False resumed by
+    a bloom-enabled crawler must NOT start with an empty bloom (negative
+    probes would 'prove' frontier URLs new → duplicate rows).  The bloom is
+    rebuilt from a frontier url_hash scan and the resumed crawl stays
+    byte-identical to the oracle."""
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"], CFG)
+
+    ckpt = str(tmp_path / "ckpt-nb")
+    a = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG, use_bloom=False,
+        checkpoint_dir=ckpt, checkpoint_interval=2,
+    )
+    a.run(seeds=sdfs["seeds"], stop_after_round=3)
+    frontier_rows = a.frontier.count()
+    assert frontier_rows > 0
+
+    b = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG, use_bloom=True,
+        checkpoint_dir=ckpt, checkpoint_interval=2,
+    )
+    res = b.run(resume=True)
+    # the rebuilt bloom saw every pre-kill frontier row
+    assert b.bloom is not None and b.bloom.n_added >= frontier_rows
+    assert_crawl_equal(res, oracle)
+
+
 def test_resume_without_snapshot_raises(spark, tmp_path):
     tables = gen_corpus(T1_MICRO)
     sdfs = corpus_to_spark(spark, tables)
