@@ -38,7 +38,7 @@ import tempfile
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import STATUS_DISCOVERED, CrawlConfig
@@ -143,6 +143,8 @@ class SparkCrawler:
         collect_metrics: bool = True,
         prioritizer=None,
         fetch_consumer=None,
+        frontier_buckets: int = 32,
+        seen_broadcast_limit: int = 5_000_000,
     ):
         """User plug-points (api/UserCode.scala:34-35, :68-69):
 
@@ -171,6 +173,7 @@ class SparkCrawler:
             if use_bloom else None
         )
         self._last_bloom_versions: dict[int, int] = {}
+        self.seen_broadcast_limit = seen_broadcast_limit
         self.n_salts = n_salts
         self.validate_payloads = validate_payloads
         self.collect_metrics = collect_metrics
@@ -183,6 +186,18 @@ class SparkCrawler:
         self._parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
         self._normalize_udf = make_normalize_udf(cfg)
         self._host_outcome_udf = make_host_outcome_udf(cfg)
+
+        # bucketed frontier storage (the Iceberg-MERGE analogue): the table
+        # is partitioned by pmod(url_hash, K); each round rewrites ONLY the
+        # buckets touched by that round's inserts/updates as immutable
+        # per-(bucket, round) parquet dirs, and the driver's bucket→path map
+        # (persisted in the manifest, like an Iceberg snapshot manifest)
+        # names each bucket's current file set.  Per-round write IO is
+        # O(delta buckets), not O(frontier) — the reference's analogue is
+        # row-level UPDATE ... WHERE url (SlickPageRepository.scala:39).
+        self.n_buckets = max(int(frontier_buckets), 1)
+        self.bucket_map: dict[int, str] = {}
+        self._manifest_keep: set[str] = set()  # round dirs the last manifest needs
 
         self.frontier: DataFrame = spark.createDataFrame([], FRONTIER_SCHEMA)
         self.hosts: DataFrame = spark.createDataFrame([], HOSTS_SCHEMA)
@@ -278,7 +293,13 @@ class SparkCrawler:
         probe = None
         if self.bloom is not None and self.bloom.n_added > 0:
             probe = self.bloom.make_probe_udf()
-        cand = url_seen_filter(cand, self.frontier, probe)
+        # free upper bound on this round's candidate count = last round's
+        # emitted count — gates the maybe-set broadcast without an extra job
+        est = self.metrics[-1].get("emitted") if self.metrics else None
+        cand = url_seen_filter(
+            cand, self.frontier, probe,
+            est_candidates=est, broadcast_limit=self.seen_broadcast_limit,
+        )
         if self.collect_metrics:
             cand = self._mat(cand)
             m["new_urls"] = cand.count()
@@ -309,12 +330,17 @@ class SparkCrawler:
             "host",
             "left_anti",
         )
+        # counts ride as Observations on jobs that run anyway (the
+        # localCheckpoint / write actions) — a dedicated .count() job per
+        # round was a measurable slice of the core-count-invariant driver
+        # latency that capped full-loop scaling efficiency
+        refr_obs = Observation(f"refreshed-r{rnd}")
         refreshed = self._mat(
             robots_refresh(
                 need, self.hosts, self.robots_corpus, now_ms, self._host_outcome_udf
-            )
+            ).observe(refr_obs, F.count(F.lit(1)).alias("n"))
         )
-        n_refreshed = refreshed.count()
+        n_refreshed = int(refr_obs.get["n"])
         if self.collect_metrics:
             m["robots_fetched"] = n_refreshed
         hosts_next = self.hosts.join(
@@ -374,11 +400,13 @@ class SparkCrawler:
         if newly_dis is not None:
             discovered = discovered.join(F.broadcast(newly_dis), "url", "left_anti")
         sel = politeness_select(discovered, budgets, self.n_salts)
-        sel = assign_fetch_order(sel, self.fetch_seq)
+        sel = assign_fetch_order(sel, self.fetch_seq, self._parts)
+        sel_obs = Observation(f"sel-r{rnd}")
         sel = self._mat(
             sel.select("url", "host", "crawl_depth", "rank", "fetch_order")
+            .observe(sel_obs, F.count(F.lit(1)).alias("n"))
         )
-        n_fetched = sel.count()
+        n_fetched = int(sel_obs.get["n"])
         m["fetched"] = n_fetched
         _lap("select")
 
@@ -394,24 +422,44 @@ class SparkCrawler:
             checks = self.fetch_consumer(fetched)
             validate = lambda: checks.where(~F.col("payload_ok")).count()  # noqa: E731
 
-        # O5/O18 status MERGE (fetch set → Processed; strict flips → Disallowed)
-        frontier_next = merge_fetch_statuses(frontier, sel, rnd, newly_dis)
+        # O5/O18 status MERGE at bucket granularity: only buckets holding
+        # this round's inserts, fetches, or strict flips are read back,
+        # merged, and rewritten; all other frontier files stay untouched.
+        bsrc = new_rows.select(
+            F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).alias("b")
+        ).unionByName(
+            sel.select(F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).alias("b"))
+        )
+        if newly_dis is not None:
+            bsrc = bsrc.unionByName(
+                newly_dis.select(
+                    F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).alias("b")
+                )
+            )
+        touched = sorted(int(r.b) for r in bsrc.distinct().collect())
+        old_paths = [self.bucket_map[b] for b in touched if b in self.bucket_map]
+        old_touched = (
+            self.spark.read.parquet(*old_paths)
+            if old_paths
+            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        frontier_delta = merge_fetch_statuses(
+            old_touched.unionByName(new_rows), sel, rnd, newly_dis
+        )
 
-        # commit round state: durable parquet snapshot per round (the
-        # Iceberg-commit analogue).  This, not localCheckpoint, is load-
-        # bearing: localCheckpoint preserves the origin plan's size stats,
-        # and Catalyst's SizeInBytesOnlyStatsPlanVisitor estimates a join as
-        # the PRODUCT of child sizes — compounding across rounds produced
-        # million-digit BigInt stats whose arithmetic dominated round time.
-        # A parquet round-trip resets stats to true on-disk sizes, truncates
-        # the plan, and bounds partition counts via maxPartitionBytes.
-        # The three writes + payload validation are independent → submitted
-        # as concurrent Spark jobs from driver threads (the round's tail is
-        # otherwise serialized driver latency, the dominant Amdahl term).
+        # durable commit (the Iceberg-MERGE analogue): only the touched
+        # buckets' files are rewritten — see _commit_round.  The parquet
+        # round-trip is also load-bearing for planner health: localCheckpoint
+        # preserves origin-plan size stats and Catalyst's
+        # SizeInBytesOnlyStatsPlanVisitor estimates joins as the PRODUCT of
+        # child sizes, which compounds across rounds into million-digit
+        # BigInt stats; re-reading real files each round resets them.
         self.rnd = rnd + 1
         self.fetch_seq += n_fetched
-        self._commit_round(frontier_next, hosts_next2, emitted, validate)
-        n_emitted = self.candidates.count()
+        n_emitted = self._commit_round(
+            frontier_delta, touched, hosts_next2, emitted, validate
+        )
+        m.update(getattr(self, "_commit_laps", {}))
         m["emitted"] = n_emitted
         _lap("commit")
         self.metrics.append(m)
@@ -428,44 +476,91 @@ class SparkCrawler:
     def _snap_dir(self, rnd: int) -> str:
         return os.path.join(self.work_dir, f"round={rnd:06d}")
 
-    def _commit_round(self, frontier: DataFrame, hosts: DataFrame,
-                      candidates: DataFrame, validate=None) -> None:
+    def _commit_round(self, frontier_delta: DataFrame, touched: list[int],
+                      hosts: DataFrame, candidates: DataFrame,
+                      validate=None) -> int:
+        """Durable commit = write THIS round's delta only:
+
+        - ``frontier_delta`` holds the full new content of the ``touched``
+          buckets (merged old rows + inserts); it is hash-repartitioned by
+          bucket so the partitionBy write emits ~one file per bucket, and
+          the bucket→path map is advanced to the new files.  Untouched
+          buckets keep their existing immutable files — per-round frontier
+          IO scales with the round's delta, not the table (the O(frontier)
+          full rewrite was round 1's main scale defect).
+        - hosts + candidates are small per-round tables, written whole.
+        - the parquet round-trip doubles as the Catalyst stats reset (size
+          stats re-read from real files each round, no compounding)."""
+        import time as _time
+
         d = self._snap_dir(self.rnd)
         if os.path.exists(d):
             shutil.rmtree(d)
-        jobs = [
-            lambda: frontier.coalesce(self._parts).write.parquet(
-                os.path.join(d, "frontier")),
-            lambda: hosts.coalesce(min(self._parts, 4)).write.parquet(
-                os.path.join(d, "hosts")),
-            lambda: candidates.coalesce(self._parts).write.parquet(
-                os.path.join(d, "candidates")),
+        jobs = []
+        if touched:
+            delta_dir = os.path.join(d, "frontier_delta")
+            jobs.append(("frontier", lambda: frontier_delta.withColumn(
+                    "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets))
+                )
+                .repartition(min(self._parts, len(touched)), F.col("bucket"))
+                .write.partitionBy("bucket")
+                .parquet(delta_dir)
+            ))
+        emit_obs = Observation(f"emitted-r{self.rnd}")
+        candidates = candidates.observe(emit_obs, F.count(F.lit(1)).alias("n"))
+        jobs += [
+            ("hosts", lambda: hosts.coalesce(min(self._parts, 4)).write.parquet(
+                os.path.join(d, "hosts"))),
+            ("cands", lambda: candidates.coalesce(self._parts).write.parquet(
+                os.path.join(d, "candidates"))),
         ]
         if validate is not None:
-            jobs.append(lambda: setattr(
-                self, "payload_failures", self.payload_failures + validate()))
-        if os.environ.get("ABWCF_PARALLEL_COMMIT"):
-            # opt-in: measured SLOWER on a single shared local[] box (jobs
-            # contend for the same cores), but the right shape on a real
-            # cluster where the writes hit disjoint executors/IO
+            jobs.append(("validate", lambda: setattr(
+                self, "payload_failures", self.payload_failures + validate())))
+        self._commit_laps = {}
+        if not os.environ.get("ABWCF_SERIAL_COMMIT"):
+            # default: the commit's independent jobs (frontier delta, hosts,
+            # candidates, payload validation) run CONCURRENTLY from driver
+            # threads — their driver-serialized latencies overlap and idle
+            # cores absorb the work (measured: 16-core round wall −20%; the
+            # serial opt-out exists for per-job lap profiling and for boxes
+            # where core contention at low parallelism dominates)
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-                for f in [ex.submit(j) for j in jobs]:
+                for f in [ex.submit(j) for _, j in jobs]:
                     f.result()
         else:
-            for j in jobs:
+            for tag, j in jobs:
+                _t = _time.time()
                 j()
+                self._commit_laps[f"t_commit_{tag}"] = round(_time.time() - _t, 3)
+        for b in touched:
+            self.bucket_map[b] = os.path.join(d, "frontier_delta", f"bucket={b}")
         self._reload_from(d)
         self._prune()
+        return int(emit_obs.get["n"])
+
+    def _referenced_round_dirs(self) -> set[str]:
+        """round=N dir names still needed: current bucket map + whatever the
+        newest manifest references (crash before the next manifest must be
+        able to resume from the previous one)."""
+        refs = {
+            os.path.basename(os.path.dirname(os.path.dirname(p)))
+            for p in self.bucket_map.values()
+        }
+        return refs | self._manifest_keep
 
     def _prune(self) -> None:
-        """Drop older snapshots that never got a manifest (incomplete /
-        work-only rounds); manifested snapshots are the durable history."""
+        """Drop older snapshots that are (a) unmanifested AND (b) hold no
+        frontier files referenced by the current or last-manifested bucket
+        map; manifested snapshots are the durable history."""
         cur = f"round={self.rnd:06d}"
+        keep = self._referenced_round_dirs()
         for e in os.listdir(self.work_dir):
             full = os.path.join(self.work_dir, e)
             if (
                 e.startswith("round=")
                 and e < cur
+                and e not in keep
                 and not os.path.exists(os.path.join(full, "manifest.json"))
             ):
                 shutil.rmtree(full, ignore_errors=True)
@@ -497,7 +592,15 @@ class SparkCrawler:
             payload_failures=self.payload_failures,
             metrics=self.metrics,
             use_bloom=self.bloom is not None,
+            # the Iceberg-snapshot-manifest analogue: which immutable file
+            # set is each bucket's current content (work_dir-relative)
+            frontier_buckets={
+                str(b): os.path.relpath(p, self.work_dir)
+                for b, p in self.bucket_map.items()
+            },
+            n_buckets=self.n_buckets,
         )
+        self._manifest_keep = self._referenced_round_dirs()
         if self.bloom is not None:
             manifest["bloom"] = self.bloom.to_manifest()
             # prune shard versions no longer referenced by the current map
@@ -513,9 +616,20 @@ class SparkCrawler:
         os.replace(tmp, os.path.join(d, "manifest.json"))
 
     def _reload_from(self, d: str) -> None:
-        self.frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
+        self._reload_frontier()
         self.hosts = self.spark.read.parquet(os.path.join(d, "hosts"))
         self.candidates = self.spark.read.parquet(os.path.join(d, "candidates"))
+
+    def _reload_frontier(self) -> None:
+        """The frontier DataFrame = one multi-path parquet scan over every
+        bucket's current file dir (pure scan → true size stats, column
+        pruning and predicate pushdown reach the files)."""
+        if self.bucket_map:
+            self.frontier = self.spark.read.parquet(
+                *sorted(set(self.bucket_map.values()))
+            )
+        else:
+            self.frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
 
     def latest_snapshot(self) -> str | None:
         if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
@@ -537,6 +651,12 @@ class SparkCrawler:
         self.fetch_seq = int(manifest["fetch_seq"])
         self.payload_failures = int(manifest.get("payload_failures", 0))
         self.metrics = list(manifest.get("metrics", []))
+        self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
+        self.bucket_map = {
+            int(b): os.path.join(self.work_dir, rel)
+            for b, rel in manifest.get("frontier_buckets", {}).items()
+        }
+        self._manifest_keep = self._referenced_round_dirs()
         self._reload_from(d)
         if self.use_bloom:
             bdir = os.path.join(self.work_dir, "bloom")

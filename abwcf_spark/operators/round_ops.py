@@ -70,7 +70,11 @@ def dedup_in_round(cand: DataFrame) -> DataFrame:
 # -- O4/O5 second half: URL-seen (bloom fast path + exact anti-join) ---------
 
 def url_seen_filter(
-    cand: DataFrame, frontier: DataFrame, bloom_probe=None
+    cand: DataFrame,
+    frontier: DataFrame,
+    bloom_probe=None,
+    est_candidates: int | None = None,
+    broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Drop candidates already in the frontier (exact dedup at PageManager
     identity, UrlDeduplicator.scala:13 / PageManager.scala:19).
@@ -84,7 +88,14 @@ def url_seen_filter(
     with the frontier on the right would instead shuffle the whole
     frontier every round — the single biggest scale mistake available in
     this pipeline.
-    """
+
+    The maybe-set is NOT fpp-sized: every genuinely re-discovered URL (on
+    real graphs, popular URLs re-linked every round) probes positive, so
+    its size is O(round's links), unbounded.  ``est_candidates`` (a free
+    driver-known upper bound: last round's emitted count) guards the
+    broadcast — above ``broadcast_limit`` the maybe-set is confirmed by a
+    shuffled anti-join instead (both sides shuffle, bounded memory, still
+    bloom-routed so fresh rows skip it entirely)."""
     seen_urls = frontier.select("url")
     if bloom_probe is None:
         # exact path without bloom: plain anti-join (fine at test scale;
@@ -93,8 +104,11 @@ def url_seen_filter(
     probed = cand.withColumn("_maybe", bloom_probe(F.xxhash64("url")))
     fresh = probed.where(~F.col("_maybe")).drop("_maybe")
     maybe = probed.where(F.col("_maybe")).drop("_maybe")
-    hits = seen_urls.join(F.broadcast(maybe.select("url")), "url")  # frontier scan, no shuffle
-    confirmed_new = maybe.join(F.broadcast(hits), "url", "left_anti")
+    if est_candidates is not None and est_candidates > broadcast_limit:
+        confirmed_new = maybe.join(seen_urls, "url", "left_anti")
+    else:
+        hits = seen_urls.join(F.broadcast(maybe.select("url")), "url")  # frontier scan, no shuffle
+        confirmed_new = maybe.join(F.broadcast(hits), "url", "left_anti")
     return fresh.unionByName(confirmed_new)
 
 
@@ -285,14 +299,46 @@ def politeness_select(
     )
 
 
-def assign_fetch_order(sel: DataFrame, fetch_seq: int) -> DataFrame:
+def assign_fetch_order(sel: DataFrame, fetch_seq: int, parts: int = 16) -> DataFrame:
     """Global deterministic order = (host ASC, rank ASC) flattened onto the
-    cross-round fetch counter.  Only per-host COUNTS (≤1 row per active host)
-    flow through the ordered prefix-sum window — never the URL rows."""
+    cross-round fetch counter, via a TWO-LEVEL prefix sum over the per-host
+    counts:
+
+    1. range-partition the counts by host (range partition p < p+1 ⇒ every
+       host in p sorts before every host in p+1), cumsum WITHIN each
+       partition — parallel across partitions;
+    2. a single-partition pass over the ≤``parts`` per-partition totals
+       (bounded by the partition count, NOT the host count) produces each
+       partition's starting offset.
+
+    Round 1 ran one global ``Window.orderBy(host)`` — one task sorting one
+    row per active host: fine at 512 hosts, a serial bottleneck at 10^7-10^8
+    hosts.  Now the only single-partition data is ``parts`` total rows.
+    URL rows never enter any ordered window either way."""
     counts = sel.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "host", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    ranged = counts.repartitionByRange(parts, "host").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_cum = (
+        Window.partitionBy("_pid")
+        .orderBy("host")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("_pid")
+    within = ranged.select(
+        "host",
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_cum"),
+        F.sum("_n").over(w_tot).alias("_ptotal"),
+    )
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    pofs = (
+        within.select("_pid", "_ptotal")
+        .distinct()
+        .select("_pid", F.coalesce(F.sum("_ptotal").over(w_p), F.lit(0)).alias("_pofs"))
+    )
+    offsets = within.join(F.broadcast(pofs), "_pid").select(
+        "host", (F.col("_cum") + F.col("_pofs")).alias("_offset")
     )
     return sel.join(F.broadcast(offsets), "host").withColumn(
         "fetch_order",
@@ -374,9 +420,14 @@ def fetch_and_emit(
         )
     )
 
-    too_big = F.col("bytes").isNotNull() & (
-        F.length(F.col("bytes")) > F.lit(cfg.max_content_length)
-    )
+    # body-size gate (Fetcher.scala:142,168-170): prefer the metadata
+    # column so the emit path's corpus scan never reads the binary payload
+    # column (measured ~2× scan cost per round otherwise)
+    if "content_length" in fetched.columns:
+        body_len = F.col("content_length")
+    else:
+        body_len = F.when(F.col("bytes").isNotNull(), F.length(F.col("bytes")))
+    too_big = body_len.isNotNull() & (body_len > F.lit(cfg.max_content_length))
     gate = (
         (sc == 200)
         & ~too_big

@@ -169,6 +169,10 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
                     url=url,
                     image_id=image_id,
                     bytes=payload,
+                    # body size as metadata: lets the fetch gate (Fetcher.
+                    # scala:142 LengthLimitExceeded) run without dragging
+                    # the binary column through the emit-path scan
+                    content_length=len(payload) if payload is not None else None,
                     w=w,
                     h=h,
                     fmt=fmt,
@@ -185,6 +189,13 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
                 )
             )
     corpus = pd.DataFrame(rows)
+    # keep None+int columns as true object ints (pandas would infer float64,
+    # which Spark's LongType rejects at DataFrame construction)
+    corpus["content_length"] = pd.Series(
+        [None if pd.isna(v) else int(v) for v in corpus["content_length"]],
+        index=corpus.index,
+        dtype="object",
+    )
 
     robots_rows = []
     for hi in range(spec.n_hosts):

@@ -7,7 +7,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 CORPUS_SCHEMA = (
-    "url string, image_id string, bytes binary, w int, h int, fmt string, "
+    "url string, image_id string, bytes binary, content_length long, "
+    "w int, h int, fmt string, "
     "caption string, phash long, status_code int, content_type string, "
     "redirect_to string, x_robots_tag string, meta_robots string, "
     "out_links array<string>, body_html binary"

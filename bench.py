@@ -18,8 +18,10 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir for the operator queries (sf0.1)
   SPARK_GRAFT_CPUS     the 4N core count (default 32; N = cpus // 4)
   ABWCF_BENCH_HOSTS    bench corpus hosts        (default 512)
-  ABWCF_BENCH_URLS     bench corpus urls/host    (default 400)
+  ABWCF_BENCH_URLS     bench corpus urls/host    (default 2000)
+  ABWCF_BENCH_FANOUT   link-tree fanout          (default 48)
   ABWCF_BENCH_CACHE    corpus cache dir          (default <repo>/.bench-cache)
+  ABWCF_SERIAL_COMMIT  disable concurrent round-commit jobs (lap profiling)
 """
 
 from __future__ import annotations
@@ -62,7 +64,8 @@ BENCH_CFG = CrawlConfig(
 
 def bench_spec() -> CorpusSpec:
     n_hosts = int(os.environ.get("ABWCF_BENCH_HOSTS", "512"))
-    urls = int(os.environ.get("ABWCF_BENCH_URLS", "400"))
+    urls = int(os.environ.get("ABWCF_BENCH_URLS", "2000"))
+    fanout = int(os.environ.get("ABWCF_BENCH_FANOUT", "48"))
     return CorpusSpec(
         n_hosts=n_hosts,
         urls_per_host=urls,
@@ -72,7 +75,11 @@ def bench_spec() -> CorpusSpec:
         # crawl payloads are far heavier than thumbnail-sized test images,
         # and per-row compute is what a 1000-executor cluster scales
         image_size=(96, 64),
-        fanout=16,  # wide tree → few deep rounds, lots of per-round work
+        # wide + deep rounds: the per-round driver-serialized latency is
+        # core-count-invariant (~8 s/round), so the scaling measurement
+        # needs rounds big enough (~200k URLs fetched/round) to amortize it
+        # — exactly the production regime, where rounds carry 10^6-10^8 URLs
+        fanout=fanout,
         crawl_delays={i: 0.0 for i in range(n_hosts)},
     )
 
@@ -91,7 +98,7 @@ def materialize_corpus() -> dict[str, str]:
     )
     key = (
         f"h{spec.n_hosts}-u{spec.urls_per_host}-f{spec.fanout}"
-        f"-i{spec.image_size[0]}x{spec.image_size[1]}-v3"
+        f"-i{spec.image_size[0]}x{spec.image_size[1]}-v4"
     )
     d = os.path.join(cache_root, key)
     paths = {n: os.path.join(d, f"{n}.parquet") for n in ("corpus", "robots", "seeds")}
@@ -99,10 +106,14 @@ def materialize_corpus() -> dict[str, str]:
         return paths
     os.makedirs(d, exist_ok=True)
     tables = gen_corpus(spec)
-    # all-null binary column would be written as parquet NULL type — drop it
-    # (the bench crawl runs the pre-extracted out_links fast path anyway)
-    if "body_html" in tables["corpus"] and tables["corpus"]["body_html"].isna().all():
-        tables["corpus"] = tables["corpus"].drop(columns=["body_html"])
+    # all-null OPTIONAL columns would be written as parquet NULL (void)
+    # type, which poisons Spark's type coercion downstream — drop them; the
+    # engine falls back gracefully when these columns are absent
+    optional = ("body_html", "robots_body2", "switch_ms", "content_length")
+    for name, pdf in list(tables.items()):
+        drop = [c for c in optional if c in pdf.columns and pdf[c].isna().all()]
+        if drop:
+            tables[name] = pdf.drop(columns=drop)
     for name, pdf in tables.items():
         # small row groups are load-bearing: a parquet ROW GROUP is the unit
         # of split, and a single-row-group 700MB file serializes every scan
@@ -122,7 +133,7 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
     # (the decode/validate stage's parallelism == scan partitions)
     spark = get_spark(
         app_name=f"abwcf-bench-{cpus}", cpus=cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
     try:
         corpus = spark.read.parquet(paths["corpus"])
@@ -165,7 +176,7 @@ def run_datapath(cpus: int, paths: dict[str, str]) -> dict:
 
     spark = get_spark(
         app_name=f"abwcf-datapath-{cpus}", cpus=cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
     try:
         corpus = spark.read.parquet(paths["corpus"])

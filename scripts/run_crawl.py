@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--max-crawl-depth", type=int, default=2**31 - 1)
     p.add_argument("--n-salts", type=int, default=0)
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--bloom-shards", type=int, default=16)
+    p.add_argument("--frontier-buckets", type=int, default=32)
+    p.add_argument("--parse-html", action="store_true")
     p.add_argument("--validate-payloads", action="store_true")
     return p.parse_args()
 
@@ -57,6 +60,7 @@ def main():
         round_seconds=args.round_seconds,
         max_rounds=args.max_rounds,
         max_crawl_depth=args.max_crawl_depth,
+        parse_html=args.parse_html,
     )
     crawler = SparkCrawler(
         spark,
@@ -66,6 +70,8 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_interval=args.checkpoint_interval,
         use_bloom=not args.no_bloom,
+        bloom_shards=args.bloom_shards,
+        frontier_buckets=args.frontier_buckets,
         n_salts=args.n_salts,
         validate_payloads=args.validate_payloads,
         collect_metrics=False,

@@ -92,6 +92,16 @@ def test_ttl_expiry_strict_reeval_at_fetch_time(spark):
     assert flipped["fetch_order"].isna().all()
 
 
+def test_seen_broadcast_guard_shuffled_fallback(spark):
+    """With seen_broadcast_limit=0 every round's maybe-set takes the
+    shuffled anti-join fallback instead of the broadcast hit-list path —
+    results must be identical (the guard may only change the plan)."""
+    res, oracle = run_both(
+        spark, T1_MICRO, use_bloom=True, seen_broadcast_limit=0
+    )
+    assert_crawl_equal(res, oracle)
+
+
 def test_html_bytes_parse_path(spark):
     """parse_html mode: out_links are derived IN-LOOP from real <a href>
     markup (relative hrefs absolutized, first-occurrence distinct, meta-

@@ -82,6 +82,42 @@ def test_query_scan_prunes_columns(spark):
     assert "p_type" not in rs[0] and "p_brand" not in rs[0], "column pruning lost"
 
 
+def test_fetch_order_counts_window_is_partitioned(spark):
+    """The per-host counts prefix sum must run as a PARTITIONED window
+    (parallel across host ranges); the only single-partition window may be
+    the one over per-partition totals (≤`parts` rows, host-count invariant).
+    Verified structurally: every window whose frame touches `host` rows
+    carries a partition spec."""
+    import re
+
+    from abwcf_spark.operators.round_ops import assign_fetch_order
+
+    sel = spark.createDataFrame(
+        pd.DataFrame({
+            "url": [f"https://h{i}.example/p/0" for i in range(50)],
+            "host": [f"https://h{i}.example" for i in range(50)],
+            "crawl_depth": [0] * 50,
+            "rank": [1] * 50,
+        })
+    )
+    out = assign_fetch_order(sel, 0, parts=8)
+    p = plan(out)
+    # every windowspec that SORTS host rows must be partitioned by _pid;
+    # global (partition-less) specs may only order by _pid (≤parts rows)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    host_specs = [s for s in specs if "host" in s]
+    assert host_specs, f"no host windowspec found:\n{p}"
+    for s in host_specs:
+        assert s.strip().startswith("_pid"), (
+            f"host-ordered window is global/single-partition: {s}"
+        )
+    # and the result is the correct dense global order
+    rows = out.orderBy("fetch_order").collect()
+    hosts_in_order = [r.host for r in rows]
+    assert hosts_in_order == sorted(hosts_in_order)
+    assert [r.fetch_order for r in rows] == list(range(50))
+
+
 def test_status_merge_broadcasts_update_side(spark, fixture_dfs):
     from abwcf_spark.operators.round_ops import merge_fetch_statuses
 
