@@ -180,3 +180,34 @@ def validate_payload_batches(
             )
             oks[i] = pix_ok and ham_ok and row.caption == expected_caption
         yield pd.DataFrame({"url": pdf["url"].astype(object), "payload_ok": oks})
+
+
+# --------------------------------------------------------------------------
+# Multimodal feature extraction (mapInPandas batch function)
+# --------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = "url string, w int, h int, mean_luma_milli long, phash long"
+
+
+def image_stats_batches(batches):
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.imagecodec import decode_image, phash64
+
+    for pdf in batches:
+        rows = []
+        for url, data in zip(pdf["url"], pdf["bytes"]):
+            try:
+                px = decode_image(bytes(data))
+            except ValueError:
+                continue
+            rows.append((
+                url, int(px.shape[1]), int(px.shape[0]),
+                int(px.astype(np.float64).mean() * 1000),
+                phash64(px),
+            ))
+        yield pd.DataFrame(
+            rows, columns=["url", "w", "h", "mean_luma_milli", "phash"]
+        ).astype({"url": "object", "w": "int32", "h": "int32",
+                  "mean_luma_milli": "int64", "phash": "int64"})

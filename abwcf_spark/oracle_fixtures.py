@@ -327,7 +327,52 @@ def build_payload_validate() -> pd.DataFrame:
     return out.astype({"url": "object", "payload_ok": "bool"})
 
 
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 4   # window of consecutive gram hashes; min per window kept
+
+
+def build_winnow() -> pd.DataFrame:
+    """Mirror of queries.doc_fingerprint_winnow: winnowing fingerprints —
+    per-window minimum of xxhash64 over consecutive char 8-grams."""
+    docs = _read_sf001("documents")
+    rows = []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        n = len(text)
+        if n < WINNOW_K:
+            continue
+        grams = [
+            xxhash64_str(text[i : i + WINNOW_K]) for i in range(n - WINNOW_K + 1)
+        ]
+        if len(grams) < WINNOW_W:
+            continue
+        fps = sorted(
+            {
+                min(grams[j : j + WINNOW_W])
+                for j in range(len(grams) - WINNOW_W + 1)
+            }
+        )
+        for fp in fps:
+            rows.append((int(doc_id), fp))
+    return pd.DataFrame(rows, columns=["doc_id", "fingerprint"]).astype(
+        {"doc_id": "int64", "fingerprint": "int64"}
+    )
+
+
+def build_image_stats() -> pd.DataFrame:
+    """Mirror of queries.image_stats_extract run in-process on the same
+    deterministic image corpus (decode → shape + mean luma + phash)."""
+    from .operators.udfs import image_stats_batches
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][["url", "bytes"]].reset_index(drop=True)
+    out = pd.concat(list(image_stats_batches(iter([pdf]))), ignore_index=True)
+    return out
+
+
 BUILDERS = {
+    "doc_fingerprint_winnow": build_winnow,
+    "image_stats_extract": build_image_stats,
     "simhash_fingerprint": build_simhash,
     "minhash_lsh_candidates": build_minhash,
     "embedding_cosine_topk": build_cosine_topk,

@@ -1051,3 +1051,66 @@ def o18_status_merge(spark, sf_dir):
         F.when(hit, F.lit(3)).otherwise(F.lit(-1)).cast("int").alias("fetched_round"),
         F.coalesce(F.col("_fo"), F.lit(-1)).cast("long").alias("fetch_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting via WINNOWING (Schleimer/Wilkerson/Aiken's public
+# winnowing scheme): xxhash64 over sliding char 8-grams, keep the minimum of
+# every 4-hash window, distinct per doc.  Near-duplicate documents share
+# fingerprints even under local edits.  Entirely per-row Catalyst array
+# transforms — tokens/grams never leave their row, no shuffle before the
+# final distinct.  Oracle: constructed fixture (oracle_fixtures.build_winnow).
+# ---------------------------------------------------------------------------
+def doc_fingerprint_winnow(spark, sf_dir):
+    from .oracle_fixtures import WINNOW_K, WINNOW_W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        f"transform(sequence(0, length(text) - {WINNOW_K}), "
+        f"i -> xxhash64(substr(text, i + 1, {WINNOW_K})))"
+    )
+    wins = (
+        f"transform(sequence(0, size(_grams) - {WINNOW_W}), "
+        f"j -> array_min(slice(_grams, j + 1, {WINNOW_W})))"
+    )
+    return (
+        docs.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .withColumn("_grams", F.expr(grams))
+        .where(F.size("_grams") >= WINNOW_W)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(wins))).alias("fingerprint"))
+        .distinct()
+    )
+
+
+QUERIES["doc_fingerprint_winnow"] = doc_fingerprint_winnow
+ORACLE["doc_fingerprint_winnow"] = _fx("doc_fingerprint_winnow")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction: decode opaque image bytes and emit typed
+# features (dimensions, mean luminance, perceptual hash) — the image-side
+# analogue of the text-quality signals, running the same Arrow-batched
+# mapInPandas plumbing the crawl's payload validator uses (binary column in,
+# typed columns out, pixel math vectorized in numpy).  Oracle: fixture from
+# the identical kernel run in-process (oracle_fixtures.build_image_stats).
+# ---------------------------------------------------------------------------
+IMAGE_STATS_SCHEMA = (
+    "url string, w int, h int, mean_luma_milli long, phash long"
+)
+
+
+def image_stats_extract(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.udfs import image_stats_batches
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][["url", "bytes"]].reset_index(drop=True)
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    sdf = spark.createDataFrame(pdf.to_dict("records"), "url string, bytes binary")
+    return sdf.repartition(8).mapInPandas(image_stats_batches, IMAGE_STATS_SCHEMA)
+
+
+QUERIES["image_stats_extract"] = image_stats_extract
+ORACLE["image_stats_extract"] = _fx("image_stats_extract")

@@ -244,3 +244,31 @@ def test_embedding_ann_lsh_recall(spark):
     assert found >= 8, f"ANN found only {found}/10 planted near-neighbors"
     # planted neighbors must rank at the top
     assert (ann.head(8)["vec_id"] >= 900000).all()
+
+
+def test_winnow_fingerprints_overlap_for_near_dups(spark):
+    """Winnowing: a locally-edited copy shares most fingerprints with the
+    original; an unrelated doc shares almost none."""
+    import tempfile
+
+    from abwcf_spark.queries import doc_fingerprint_winnow
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").head(10)
+    base = docs.iloc[0]["text"]
+    near = base[: len(base) // 2] + "EDITED" + base[len(base) // 2:]
+    extra = pd.DataFrame(
+        [{"doc_id": 900001, "text": near, "lang": "en", "source": "t",
+          "n_chars": len(near)}]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pd.concat([docs, extra], ignore_index=True).pipe(
+            spark.createDataFrame
+        ).write.parquet(f"{d}/documents.parquet")
+        fp = doc_fingerprint_winnow(spark, d).toPandas()
+    by_doc = {k: set(v) for k, v in fp.groupby("doc_id")["fingerprint"]}
+    base_id = int(docs.iloc[0]["doc_id"])
+    other_id = int(docs.iloc[5]["doc_id"])
+    sim = len(by_doc[base_id] & by_doc[900001]) / len(by_doc[base_id] | by_doc[900001])
+    dis = len(by_doc[base_id] & by_doc[other_id]) / len(by_doc[base_id] | by_doc[other_id])
+    assert sim > 0.6, f"near-dup winnow overlap too low: {sim}"
+    assert dis < 0.1, f"unrelated docs overlap too high: {dis}"
