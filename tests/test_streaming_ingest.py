@@ -64,3 +64,30 @@ def test_intake_batch_idempotent(spark, tmp_path):
     seed_intake_batch(spark, batch, frontier_dir, cfg)  # re-delivery
     got = spark.read.parquet(frontier_dir).toPandas()
     assert len(got) == 1
+
+
+def test_streaming_rounds_match_oracle(spark, tmp_path):
+    """The Structured-Streaming round driver (one crawl round per
+    micro-batch trigger) must produce the exact same crawl as the batch
+    loop — crawl order, URL-seen set, every frontier column."""
+    from abwcf_spark.config import CrawlConfig
+    from abwcf_spark.engine.crawler import SparkCrawler
+    from abwcf_spark.streaming.rounds import stream_rounds
+    from abwcf_spark.testing.compare import assert_crawl_equal
+    from abwcf_spark.testing.corpus import T1_MICRO, gen_corpus
+    from abwcf_spark.testing.oracle import crawl_oracle
+    from abwcf_spark.testing.spark_fixtures import corpus_to_spark
+
+    tables = gen_corpus(T1_MICRO)
+    oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"])
+    sdfs = corpus_to_spark(spark, tables)
+    crawler = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CrawlConfig(),
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_interval=3,
+        collect_metrics=False,
+    )
+    res = stream_rounds(
+        crawler, seeds=sdfs["seeds"],
+        checkpoint_dir=str(tmp_path / "stream-ck"),
+    )
+    assert_crawl_equal(res, oracle)
