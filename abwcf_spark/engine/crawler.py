@@ -206,6 +206,7 @@ class SparkCrawler:
         self.fetch_seq = 0
         self.metrics: list[dict] = []
         self.payload_failures = 0
+        self._bg = ThreadPoolExecutor(max_workers=1)  # bloom-update overlap
 
     # ------------------------------------------------------------------ run
     def seed(self, seeds: DataFrame) -> None:
@@ -379,9 +380,15 @@ class SparkCrawler:
             insert_rows(cand, hosts_next, rnd, cfg, robots_allowed_udf,
                         self.prioritizer)
         )
+        bloom_future = None
         if self.bloom is not None:
-            # executor-side shard update: no row data crosses the driver
-            m["inserted"] = self.bloom.add_dataframe(new_rows, "url_hash", rnd)
+            # executor-side shard update: no row data crosses the driver.
+            # The job runs CONCURRENTLY with selection/fetch/commit (its
+            # result is only needed by the NEXT round's probe) — joined at
+            # the end of the step.
+            bloom_future = self._bg.submit(
+                self.bloom.add_dataframe, new_rows, "url_hash", rnd
+            )
         elif self.collect_metrics:
             m["inserted"] = new_rows.count()
         if self.collect_metrics:
@@ -461,6 +468,8 @@ class SparkCrawler:
         )
         m.update(getattr(self, "_commit_laps", {}))
         m["emitted"] = n_emitted
+        if bloom_future is not None:
+            m["inserted"] = bloom_future.result()
         _lap("commit")
         self.metrics.append(m)
 

@@ -1094,15 +1094,10 @@ ORACLE["doc_fingerprint_winnow"] = _fx("doc_fingerprint_winnow")
 # typed columns out, pixel math vectorized in numpy).  Oracle: fixture from
 # the identical kernel run in-process (oracle_fixtures.build_image_stats).
 # ---------------------------------------------------------------------------
-IMAGE_STATS_SCHEMA = (
-    "url string, w int, h int, mean_luma_milli long, phash long"
-)
-
-
 def image_stats_extract(spark, sf_dir):
     import pandas as pd
 
-    from .operators.udfs import image_stats_batches
+    from .operators.udfs import IMAGE_STATS_SCHEMA, image_stats_batches
     from .testing.corpus import T2_MULTI, gen_corpus
 
     pdf = gen_corpus(T2_MULTI)["corpus"]

@@ -132,3 +132,15 @@ def test_status_merge_broadcasts_update_side(spark, fixture_dfs):
     merged = merge_fetch_statuses(crawler.frontier, sel, 1)
     p = plan(merged)
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_ann_batch_single_broadcast_no_cartesian(spark):
+    """The batch-ANN candidate join must be ONE broadcast join of the
+    exploded query probes into the signature scan — no cartesian/nested-loop
+    product of queries × corpus."""
+    from abwcf_spark.queries import embedding_ann_batch
+
+    p = plan(embedding_ann_batch(spark, _sf_dir("0.01")), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
