@@ -399,3 +399,36 @@ if __name__ == "__main__":
 
         t = pq.read_table(fixture_path(name))
         print(f"{name}: {t.num_rows} rows, {t.schema.names}")
+
+EMB_BUCKET_CAP = 100  # signature-bucket size cap for the near-dup self-join
+
+
+def build_emb_near_dup() -> pd.DataFrame:
+    """Mirror of queries.embedding_near_dup_pairs: same-signature pairs
+    (bucket-capped) with exact fold-order cosine in floor-milli."""
+    import math
+
+    emb = _read_sf001("embeddings")
+    dim = len(emb.embedding.iloc[0])
+    planes = _ann_planes(dim)
+    recs = [(int(v), e) for v, e in zip(emb.vec_id, emb.embedding)]
+    buckets: dict[int, list[int]] = {}
+    for v, e in recs:
+        buckets.setdefault(_ann_sig(e, planes), []).append(v)
+    by_vid = dict(recs)
+    rows = []
+    for members in buckets.values():
+        if not 2 <= len(members) <= EMB_BUCKET_CAP:
+            continue
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                rows.append((a, b, math.floor(cosine(by_vid[a], by_vid[b]) * 1000)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_milli"]).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cos_milli": "int64"}
+    )
+
+
+BUILDERS["embedding_near_dup_pairs"] = build_emb_near_dup

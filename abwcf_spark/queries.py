@@ -1109,3 +1109,65 @@ def image_stats_extract(spark, sf_dir):
 
 QUERIES["image_stats_extract"] = image_stats_extract
 ORACLE["image_stats_extract"] = _fx("image_stats_extract")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate PAIRS (the pairwise dedup path, distinct from the
+# query-based ANN search): vectors sharing an 8-bit random-hyperplane
+# signature form candidate buckets; pairs inside a bucket (capped at
+# EMB_BUCKET_CAP against degenerate all-identical corpora) are confirmed by
+# exact cosine, emitted as integer floor-milli.  100-TB shape: a shuffled
+# self-join on the signature key — no all-pairs product; bucket counts bound
+# the quadratic term.  Oracle: constructed fixture
+# (oracle_fixtures.build_emb_near_dup) mirroring fold order.
+# ---------------------------------------------------------------------------
+def embedding_near_dup_pairs(spark, sf_dir):
+    from .kernels.hashing import xxhash64_str
+    from .oracle_fixtures import ANN_PLANES, EMB_BUCKET_CAP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    planes = [
+        F.array(*[
+            F.lit(float(xxhash64_str(f"plane|{p}|{d}") / 2**63)) for d in range(dim)
+        ])
+        for p in range(ANN_PLANES)
+    ]
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = F.col("embedding")
+    sig = None
+    for p, pl in enumerate(planes):
+        bit = F.when(dot(e, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    signed = emb.select("vec_id", "embedding", sig.cast("int").alias("sig"))
+    ok_sigs = (
+        signed.groupBy("sig").agg(F.count(F.lit(1)).alias("ct"))
+        .where((F.col("ct") >= 2) & (F.col("ct") <= EMB_BUCKET_CAP))
+        .select("sig")
+    )
+    capped = signed.join(ok_sigs, "sig")
+    a = capped.select("sig", F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("emb_a"))
+    b = capped.select("sig", F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        a.join(b, "sig")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.floor(cos * 1000).cast("long").alias("cos_milli"))
+    )
+
+
+QUERIES["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+ORACLE["embedding_near_dup_pairs"] = _fx("embedding_near_dup_pairs")

@@ -272,3 +272,28 @@ def test_winnow_fingerprints_overlap_for_near_dups(spark):
     dis = len(by_doc[base_id] & by_doc[other_id]) / len(by_doc[base_id] | by_doc[other_id])
     assert sim > 0.6, f"near-dup winnow overlap too low: {sim}"
     assert dis < 0.1, f"unrelated docs overlap too high: {dis}"
+
+
+def test_embedding_near_dup_pairs_find_planted_dups(spark):
+    """Planted perturbed copies of one vector must surface as high-cosine
+    pairs via the signature-bucket self-join."""
+    import tempfile
+
+    from abwcf_spark.queries import embedding_near_dup_pairs
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").head(100)
+    q = np.array(emb.sort_values("vec_id").iloc[0]["embedding"], dtype=np.float32)
+    rng = np.random.default_rng(11)
+    planted = [
+        {"vec_id": 900000 + i,
+         "embedding": list(q + rng.normal(0, 0.01, size=q.shape).astype(np.float32)),
+         "label": 9}
+        for i in range(5)
+    ]
+    allv = pd.concat([emb, pd.DataFrame(planted)], ignore_index=True)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(allv).write.parquet(f"{d}/embeddings.parquet")
+        pairs = embedding_near_dup_pairs(spark, d).toPandas()
+    hits = pairs[(pairs.vec_a >= 900000) & (pairs.vec_b >= 900000)]
+    assert len(hits) >= 6, f"only {len(hits)} planted pairs found"
+    assert (hits.cos_milli >= 990).all(), hits
