@@ -512,6 +512,12 @@ class SparkCrawler:
                     "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets))
                 )
                 .repartition(min(self._parts, len(touched)), F.col("bucket"))
+                # status-sorted row groups: parquet min/max stats then let
+                # the per-round status='Discovered' scans SKIP row groups
+                # holding only Processed/Disallowed rows — at scale most of
+                # the frontier is Processed, so the politeness scan reads a
+                # shrinking fraction of the table
+                .sortWithinPartitions("bucket", "status")
                 .write.partitionBy("bucket")
                 .parquet(delta_dir)
             ))
