@@ -41,7 +41,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import STATUS_DISCOVERED, CrawlConfig
+from ..config import (
+    STATUS_DISALLOWED,
+    STATUS_DISCOVERED,
+    STATUS_PROCESSED,
+    CrawlConfig,
+)
 from ..kernels.bloom_shards import ShardedBloom
 from ..operators.round_ops import (
     advance_gates,
@@ -51,7 +56,6 @@ from ..operators.round_ops import (
     host_budgets,
     insert_rows,
     lenient_robots_filter,
-    merge_fetch_statuses,
     politeness_select,
     robots_refresh,
     url_filter_predicate,
@@ -77,6 +81,46 @@ HOSTS_SCHEMA = (
     "crawl_delay long, valid_until long, next_free_ms long"
 )
 CANDIDATES_SCHEMA = "url string, crawl_depth int, seq long"
+FRONTIER_COLS = [f.split()[0] for f in FRONTIER_SCHEMA.split(", ")]
+
+
+def metrics_stage_rows(m: dict) -> list[dict]:
+    """One round's metric dict → long-format (round, stage, passed,
+    rejected, wall_ms) rows for the durable metrics table — the queryable
+    analogue of the reference's per-stage OTel counters
+    (``metrics/FilterMetrics.scala:176-182`` passed/rejected per filter,
+    ``FetcherMetrics.scala:130-145`` fetch counters).  Pure formatting: the
+    counts themselves come from the engine's Observations (or, for the
+    oracle fixture, from the pure-python simulator)."""
+    rnd = int(m["round"])
+    rows: list[dict] = []
+
+    def add(stage, passed, rejected=0, wall_key=None):
+        if passed is None:
+            return
+        wall = m.get(wall_key) if wall_key else None
+        rows.append(dict(
+            round=rnd, stage=stage, passed=int(passed), rejected=int(rejected),
+            wall_ms=int(wall * 1000) if wall is not None else None,
+        ))
+
+    c, n = m.get("candidates"), m.get("normalized")
+    if c is not None and n is not None:
+        add("normalize", n, c - n, "t_cand")
+    nu = m.get("new_urls")
+    if n is not None and nu is not None:
+        add("url_seen", nu, n - nu)
+    lp = m.get("lenient_passed")
+    if nu is not None and lp is not None:
+        add("lenient_robots", lp, nu - lp)
+    add("robots_fetch", m.get("robots_fetched"), 0, "t_robots")
+    ins = m.get("inserted")
+    if ins is not None:
+        add("strict_insert", ins - m.get("disallowed", 0),
+            m.get("disallowed", 0), "t_insert")
+    add("fetch", m.get("fetched"), 0, "t_select")
+    add("emit", m.get("emitted"), 0, "t_commit")
+    return rows
 
 
 def _default_payload_consumer(cfg: CrawlConfig):
@@ -85,11 +129,16 @@ def _default_payload_consumer(cfg: CrawlConfig):
     validate pixels/phash/caption for every well-formed 200 response."""
 
     def consume(fetched: DataFrame) -> DataFrame:
+        from ..operators.round_ops import body_length_col
+
+        # size gate = the SAME expression the emit gate uses, so a page can
+        # never pass one gate and fail the other (link expansion and payload
+        # accounting stay in lockstep); truncation is caught by the decode
         return (
             fetched.where(
                 (F.col("status_code") == 200)
                 & F.col("bytes").isNotNull()
-                & (F.length("bytes") <= F.lit(cfg.max_content_length))
+                & (body_length_col(fetched) <= F.lit(cfg.max_content_length))
             )
             .select("url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash")
             .mapInPandas(validate_payload_batches, PAYLOAD_CHECK_SCHEMA)
@@ -143,7 +192,7 @@ class SparkCrawler:
         collect_metrics: bool = True,
         prioritizer=None,
         fetch_consumer=None,
-        frontier_buckets: int = 32,
+        frontier_buckets: int | None = None,
         seen_broadcast_limit: int = 5_000_000,
     ):
         """User plug-points (api/UserCode.scala:34-35, :68-69):
@@ -159,7 +208,12 @@ class SparkCrawler:
         self.spark = spark
         self.cfg = cfg
         self.corpus = corpus
-        self.robots_corpus = robots_corpus
+        from ..operators.round_ops import resolve_robots_redirects
+
+        # robots.txt redirect chains resolve ONCE here (≤5 hops, RFC 9309 /
+        # RobotsFetcher.scala:99-110); per-round refreshes join the
+        # effective records
+        self.robots_corpus = resolve_robots_redirects(robots_corpus)
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = checkpoint_interval
         self.use_bloom = use_bloom
@@ -187,19 +241,45 @@ class SparkCrawler:
         self._normalize_udf = make_normalize_udf(cfg)
         self._host_outcome_udf = make_host_outcome_udf(cfg)
 
-        # bucketed frontier storage (the Iceberg-MERGE analogue): the table
-        # is partitioned by pmod(url_hash, K); each round rewrites ONLY the
-        # buckets touched by that round's inserts/updates as immutable
-        # per-(bucket, round) parquet dirs, and the driver's bucket→path map
-        # (persisted in the manifest, like an Iceberg snapshot manifest)
-        # names each bucket's current file set.  Per-round write IO is
-        # O(delta buckets), not O(frontier) — the reference's analogue is
-        # row-level UPDATE ... WHERE url (SlickPageRepository.scala:39).
-        self.n_buckets = max(int(frontier_buckets), 1)
-        self.bucket_map: dict[int, str] = {}
+        # merge-on-read frontier storage (the Iceberg MoR analogue): each
+        # round appends per-(bucket, round) DELTA files only —
+        #   fr_ins: this round's newly inserted rows (status Discovered or
+        #           born-Disallowed); a url is inserted at most once ever
+        #           (URL-seen invariant),
+        #   fr_upd: this round's status updates (Discovered→Processed with
+        #           fetched_round/fetch_order, or Discovered→Disallowed from
+        #           the fetch-time strict re-eval); statuses are terminal, so
+        #           a url is updated at most once ever.
+        # Reads reconcile latest-wins on url WITHOUT a frontier shuffle:
+        # update rows win outright (they are the only second version a url
+        # can have), so full view = data anti-join upd.urls ∪ upd — and the
+        # upd side is bounded by the rows updated since the last compaction,
+        # a driver-known count that gates a broadcast anti-join.  When the
+        # delta chain exceeds ``compact_after`` rounds, the reconciled table
+        # is compacted into a fresh base (bounding read amplification; the
+        # amortized compaction IO is O(frontier/compact_after) per round).
+        # Per-round write IO is O(round delta rows), never O(frontier) — the
+        # reference's analogue is row-level UPDATE ... WHERE url
+        # (SlickPageRepository.scala:39).  Buckets (pmod(url_hash, K)) size
+        # the files and keep per-bucket selective compaction open; K adapts
+        # at compaction time to ~rows/2M (clamped) unless pinned by
+        # ``frontier_buckets``.
+        self._adaptive_buckets = frontier_buckets is None
+        self.n_buckets = 32 if frontier_buckets is None else max(int(frontier_buckets), 1)
+        self.compact_after = 8
+        self.chain_base: str | None = None
+        self.chain_ins: list[str] = []
+        self.chain_upd: list[str] = []
+        self.upd_rows = 0          # rows across chain_upd (gates broadcast)
+        self.frontier_rows = 0     # total inserted rows (sizes adaptive K)
         self._manifest_keep: set[str] = set()  # round dirs the last manifest needs
 
         self.frontier: DataFrame = spark.createDataFrame([], FRONTIER_SCHEMA)
+        # chain read views (rebuilt per round from the parquet chain):
+        # _data = base + insert deltas (every url exactly once, insert-time
+        # content); _upd = update deltas (terminal second versions)
+        self._data: DataFrame = self.frontier
+        self._upd: DataFrame = spark.createDataFrame([], FRONTIER_SCHEMA)
         self.hosts: DataFrame = spark.createDataFrame([], HOSTS_SCHEMA)
         self.candidates: DataFrame = spark.createDataFrame([], CANDIDATES_SCHEMA)
         self.rnd = 0
@@ -207,6 +287,35 @@ class SparkCrawler:
         self.metrics: list[dict] = []
         self.payload_failures = 0
         self._bg = ThreadPoolExecutor(max_workers=1)  # bloom-update overlap
+        self._bloom_future = None  # in-flight shard update (joined per round)
+
+    # ------------------------------------------------------------- lifecycle
+    def close(self) -> None:
+        """Join any in-flight bloom shard update and release the background
+        executor (idempotent; also runs via context-manager exit / GC)."""
+        self._join_bg()
+        self._bg.shutdown(wait=True)
+
+    def _join_bg(self) -> None:
+        fut, self._bloom_future = self._bloom_future, None
+        if fut is not None:
+            fut.cancel()
+            try:
+                fut.result()  # join if already running (bounded job)
+            except Exception:
+                pass
+
+    def __enter__(self) -> "SparkCrawler":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:
+        try:
+            self._bg.shutdown(wait=False)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------ run
     def seed(self, seeds: DataFrame) -> None:
@@ -232,7 +341,13 @@ class SparkCrawler:
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         done = False
         while self.rnd < limit and not done:
-            done = self._step()
+            try:
+                done = self._step()
+            except BaseException:
+                # a failed step must not leave the bloom shard update running
+                # detached against session state the caller may tear down
+                self._join_bg()
+                raise
             if self.checkpoint_dir and (
                 self.rnd % self.checkpoint_interval == 0 or done
             ):
@@ -260,6 +375,32 @@ class SparkCrawler:
         _commit_round's parquet snapshot is the round boundary (and resets
         Catalyst size stats, see there)."""
         return df.localCheckpoint(eager=True)
+
+    def _upd_url_side(self) -> DataFrame:
+        """The update-delta url set, broadcast when the driver-known row
+        count (exact, tracked from commit Observations) fits the limit —
+        the MoR anti-join then stays a frontier SCAN, never a shuffle."""
+        u = self._upd.select("url")
+        return F.broadcast(u) if self.upd_rows <= self.seen_broadcast_limit else u
+
+    def _discovered_view(self) -> DataFrame:
+        """Reconciled Discovered rows: Discovered at insert time minus urls
+        with a (terminal) update — update rows are never Discovered, so the
+        anti-join against the bounded update side is a complete reconcile."""
+        disc = self._data.where(F.col("status") == STATUS_DISCOVERED)
+        if self.upd_rows == 0:
+            return disc
+        return disc.join(self._upd_url_side(), "url", "left_anti")
+
+    def _reconciled_frontier(self) -> DataFrame:
+        """Full latest-wins view: a url has at most two versions ever (its
+        insert and at most one terminal update), so update rows win outright
+        and no per-url window/shuffle is needed."""
+        if self.upd_rows == 0:
+            return self._data
+        return self._data.join(self._upd_url_side(), "url", "left_anti").unionByName(
+            self._upd
+        )
 
     def _step(self) -> bool:
         import time as _time
@@ -297,8 +438,11 @@ class SparkCrawler:
         # free upper bound on this round's candidate count = last round's
         # emitted count — gates the maybe-set broadcast without an extra job
         est = self.metrics[-1].get("emitted") if self.metrics else None
+        # URL-seen membership needs only the insert-side chain (_data):
+        # update deltas never introduce urls, so the MoR reconcile anti-join
+        # is skipped entirely on this hot path
         cand = url_seen_filter(
-            cand, self.frontier, probe,
+            cand, self._data, probe,
             est_candidates=est, broadcast_limit=self.seen_broadcast_limit,
         )
         if self.collect_metrics:
@@ -322,9 +466,7 @@ class SparkCrawler:
         access_hosts = cand.select("host").distinct()
         if rnd > 0:
             access_hosts = access_hosts.unionByName(
-                self.frontier.where(F.col("status") == STATUS_DISCOVERED)
-                .select("host")
-                .distinct()
+                self._discovered_view().select("host").distinct()
             ).distinct()
         need = access_hosts.join(
             hosts_valid.select(F.col("scheme_and_authority").alias("host")),
@@ -358,9 +500,10 @@ class SparkCrawler:
             rules = refreshed.select(
                 F.col("scheme_and_authority").alias("host"), "rule_mode", "robot_rules"
             )
-            reeval = self.frontier.where(
-                F.col("status") == STATUS_DISCOVERED
-            ).join(F.broadcast(rules), "host")
+            reeval = self._discovered_view().join(F.broadcast(rules), "host")
+            nd_obs = Observation(f"newly-dis-r{rnd}")
+            # full rows kept: they become this round's Disallowed UPDATE
+            # delta rows directly (no frontier read-back at commit time)
             newly_dis = self._mat(
                 reeval.where(
                     ~F.coalesce(
@@ -369,17 +512,36 @@ class SparkCrawler:
                         ),
                         F.lit(False),  # fail CLOSED (StrictRobotsFilter.scala:79)
                     )
-                ).select("url")
+                )
+                .select(*FRONTIER_COLS)
+                .observe(nd_obs, F.count(F.lit(1)).alias("n"))
             )
-            if newly_dis.isEmpty():
+            # the count rides the localCheckpoint job — no dedicated isEmpty
+            n_newly_dis = int(nd_obs.get["n"])
+            if n_newly_dis == 0:
                 newly_dis = None
+        else:
+            n_newly_dis = 0
         _lap("robots")
 
-        # O5/O6 insert with strict-robots status (user prioritizer honored)
+        # O5/O6 insert with strict-robots status (user prioritizer honored);
+        # insert/disallowed counts ride the localCheckpoint as Observations
+        ins_obs = Observation(f"ins-r{rnd}")
         new_rows = self._mat(
             insert_rows(cand, hosts_next, rnd, cfg, robots_allowed_udf,
                         self.prioritizer)
+            .observe(
+                ins_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("status") != STATUS_DISCOVERED).cast("long")
+                ).alias("dis"),
+            )
         )
+        n_inserted = int(ins_obs.get["n"])
+        m["inserted"] = n_inserted
+        m["disallowed"] = int(ins_obs.get["dis"] or 0)
+        self.frontier_rows += n_inserted
         bloom_future = None
         if self.bloom is not None:
             # executor-side shard update: no row data crosses the driver.
@@ -387,30 +549,29 @@ class SparkCrawler:
             # result is only needed by the NEXT round's probe) — joined at
             # the end of the step.
             bloom_future = self._bg.submit(
-                self.bloom.add_dataframe, new_rows, "url_hash", rnd
+                self.bloom.add_dataframe, new_rows, "url_hash"
             )
-        elif self.collect_metrics:
-            m["inserted"] = new_rows.count()
-        if self.collect_metrics:
-            m["disallowed"] = new_rows.where(
-                F.col("status") != STATUS_DISCOVERED
-            ).count()
-        frontier = self.frontier.unionByName(new_rows)
+            self._bloom_future = bloom_future
         _lap("insert")
 
         # O8 politeness: budgets + salted window-rank + global fetch order
         budgets = host_budgets(hosts_next, rnd, self.round_ms,
                                cfg.max_fetches_per_host_per_round)
-        discovered = frontier.where(F.col("status") == STATUS_DISCOVERED).select(
-            "url", "host", "crawl_priority", "crawl_depth"
+        # full frontier columns flow through selection: the selected rows
+        # become this round's Processed UPDATE delta directly (MoR commit
+        # writes them verbatim — no touched-bucket read-back/merge)
+        discovered = self._discovered_view().unionByName(
+            new_rows.where(F.col("status") == STATUS_DISCOVERED)
         )
         if newly_dis is not None:
-            discovered = discovered.join(F.broadcast(newly_dis), "url", "left_anti")
+            discovered = discovered.join(
+                F.broadcast(newly_dis.select("url")), "url", "left_anti"
+            )
         sel = politeness_select(discovered, budgets, self.n_salts)
         sel = assign_fetch_order(sel, self.fetch_seq, self._parts)
         sel_obs = Observation(f"sel-r{rnd}")
         sel = self._mat(
-            sel.select("url", "host", "crawl_depth", "rank", "fetch_order")
+            sel.select(*FRONTIER_COLS, "rank")
             .observe(sel_obs, F.count(F.lit(1)).alias("n"))
         )
         n_fetched = int(sel_obs.get["n"])
@@ -429,33 +590,34 @@ class SparkCrawler:
             checks = self.fetch_consumer(fetched)
             validate = lambda: checks.where(~F.col("payload_ok")).count()  # noqa: E731
 
-        # O5/O18 status MERGE at bucket granularity: only buckets holding
-        # this round's inserts, fetches, or strict flips are read back,
-        # merged, and rewritten; all other frontier files stay untouched.
-        bsrc = new_rows.select(
-            F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).alias("b")
-        ).unionByName(
-            sel.select(F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).alias("b"))
+        # O5/O18 status MERGE, merge-on-read style: this round's UPDATE delta
+        # is built verbatim from rows already in hand — selected rows become
+        # Processed (fetched_round/fetch_order stamped), strict flips become
+        # Disallowed.  The frontier is never read back or merged at commit
+        # time, and no driver action computes touched buckets: per-round
+        # write IO is O(delta rows) (reference analogue: batched row-level
+        # UPDATE pages SET status .. WHERE url, SlickPageRepository.scala:39
+        # + Batcher.scala:37-61).
+        upd_delta = sel.select(
+            "url", "url_hash", "host",
+            F.lit(STATUS_PROCESSED).alias("status"),
+            "crawl_depth", "crawl_priority", "discovered_round",
+            F.lit(rnd).cast("int").alias("fetched_round"),
+            F.col("fetch_order").cast("long").alias("fetch_order"),
+            "partition_id",
         )
         if newly_dis is not None:
-            bsrc = bsrc.unionByName(
+            upd_delta = upd_delta.unionByName(
                 newly_dis.select(
-                    F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).alias("b")
+                    "url", "url_hash", "host",
+                    F.lit(STATUS_DISALLOWED).alias("status"),
+                    "crawl_depth", "crawl_priority", "discovered_round",
+                    "fetched_round", "fetch_order", "partition_id",
                 )
             )
-        touched = sorted(int(r.b) for r in bsrc.distinct().collect())
-        old_paths = [self.bucket_map[b] for b in touched if b in self.bucket_map]
-        old_touched = (
-            self.spark.read.parquet(*old_paths)
-            if old_paths
-            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
-        )
-        frontier_delta = merge_fetch_statuses(
-            old_touched.unionByName(new_rows), sel, rnd, newly_dis
-        )
 
-        # durable commit (the Iceberg-MERGE analogue): only the touched
-        # buckets' files are rewritten — see _commit_round.  The parquet
+        # durable commit: append this round's two delta files (+ hosts,
+        # candidates), advance the chain, maybe compact.  The parquet
         # round-trip is also load-bearing for planner health: localCheckpoint
         # preserves origin-plan size stats and Catalyst's
         # SizeInBytesOnlyStatsPlanVisitor estimates joins as the PRODUCT of
@@ -464,14 +626,17 @@ class SparkCrawler:
         self.rnd = rnd + 1
         self.fetch_seq += n_fetched
         n_emitted = self._commit_round(
-            frontier_delta, touched, hosts_next2, emitted, validate
+            new_rows, upd_delta, n_fetched + n_newly_dis,
+            hosts_next2, emitted, validate,
         )
         m.update(getattr(self, "_commit_laps", {}))
         m["emitted"] = n_emitted
         if bloom_future is not None:
             m["inserted"] = bloom_future.result()
+            self._bloom_future = None
         _lap("commit")
         self.metrics.append(m)
+        self._append_metrics(m)
 
         if n_emitted == 0:
             remaining = self.frontier.where(
@@ -485,19 +650,73 @@ class SparkCrawler:
     def _snap_dir(self, rnd: int) -> str:
         return os.path.join(self.work_dir, f"round={rnd:06d}")
 
-    def _commit_round(self, frontier_delta: DataFrame, touched: list[int],
-                      hosts: DataFrame, candidates: DataFrame,
-                      validate=None) -> int:
-        """Durable commit = write THIS round's delta only:
+    # -------------------------------------------------- durable metrics (O20)
+    def _metrics_dir(self) -> str:
+        return os.path.join(self.work_dir, "metrics")
 
-        - ``frontier_delta`` holds the full new content of the ``touched``
-          buckets (merged old rows + inserts); it is hash-repartitioned by
-          bucket so the partitionBy write emits ~one file per bucket, and
-          the bucket→path map is advanced to the new files.  Untouched
-          buckets keep their existing immutable files — per-round frontier
-          IO scales with the round's delta, not the table (the O(frontier)
-          full rewrite was round 1's main scale defect).
-        - hosts + candidates are small per-round tables, written whole.
+    def _append_metrics(self, m: dict) -> None:
+        """Append this round's per-stage rows to the durable metrics table
+        (one immutable parquet file per round, keyed by round so a resumed
+        run that replays a round idempotently overwrites its file).  Counts
+        are driver-known scalars from the round's Observations — writing is
+        a local pyarrow call, no Spark job."""
+        rows = metrics_stage_rows(m)
+        if not rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._metrics_dir()
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema([
+            ("round", pa.int32()), ("stage", pa.string()),
+            ("passed", pa.int64()), ("rejected", pa.int64()),
+            ("wall_ms", pa.int64()),
+        ])
+        path = os.path.join(d, f"round={int(m['round']):06d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, path)
+
+    def metrics_table(self) -> DataFrame:
+        """The durable per-(round, stage) metrics table (O20): one row per
+        pipeline stage per round with passed/rejected counts and the phase
+        wall time — the queryable analogue of the reference's OTel stream."""
+        d = self._metrics_dir()
+        if not os.path.isdir(d) or not os.listdir(d):
+            return self.spark.createDataFrame(
+                [], "round int, stage string, passed long, rejected long, wall_ms long"
+            )
+        return self.spark.read.parquet(d)
+
+    def _write_delta(self, df: DataFrame, out: str, n_files: int) -> None:
+        """Per-(bucket, round) immutable delta write: hash-repartitioned so
+        partitionBy emits ~one file per bucket, status-sorted row groups so
+        parquet min/max stats let the per-round status='Discovered' scans
+        SKIP row groups holding only Processed/Disallowed rows — at scale
+        most of the frontier is Processed, so the politeness scan reads a
+        shrinking fraction of the table."""
+        (
+            df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)))
+            .repartition(max(min(n_files, self.n_buckets), 1), F.col("bucket"))
+            .sortWithinPartitions("bucket", "status")
+            .write.partitionBy("bucket")
+            .parquet(out)
+        )
+
+    def _commit_round(self, new_rows: DataFrame, upd_delta: DataFrame,
+                      n_upd: int, hosts: DataFrame, candidates: DataFrame,
+                      validate=None) -> int:
+        """Durable MoR commit = write THIS round's delta rows only:
+
+        - ``fr_ins``: the round's inserted rows (every url's first and only
+          insert) — appended to the data chain;
+        - ``fr_upd``: the round's terminal status updates — appended to the
+          update chain (read-time reconcile: update wins on url);
+        - hosts + candidates are small per-round tables, written whole;
+        - when a chain exceeds ``compact_after`` files, the reconciled table
+          is compacted into a fresh base (amortized O(frontier/compact_after)
+          IO per round; read amplification bounded by the chain length).
         - the parquet round-trip doubles as the Catalyst stats reset (size
           stats re-read from real files each round, no compounding)."""
         import time as _time
@@ -505,25 +724,13 @@ class SparkCrawler:
         d = self._snap_dir(self.rnd)
         if os.path.exists(d):
             shutil.rmtree(d)
-        jobs = []
-        if touched:
-            delta_dir = os.path.join(d, "frontier_delta")
-            jobs.append(("frontier", lambda: frontier_delta.withColumn(
-                    "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets))
-                )
-                .repartition(min(self._parts, len(touched)), F.col("bucket"))
-                # status-sorted row groups: parquet min/max stats then let
-                # the per-round status='Discovered' scans SKIP row groups
-                # holding only Processed/Disallowed rows — at scale most of
-                # the frontier is Processed, so the politeness scan reads a
-                # shrinking fraction of the table
-                .sortWithinPartitions("bucket", "status")
-                .write.partitionBy("bucket")
-                .parquet(delta_dir)
-            ))
+        ins_dir = os.path.join(d, "fr_ins")
+        upd_dir = os.path.join(d, "fr_upd")
         emit_obs = Observation(f"emitted-r{self.rnd}")
         candidates = candidates.observe(emit_obs, F.count(F.lit(1)).alias("n"))
-        jobs += [
+        jobs = [
+            ("ins", lambda: self._write_delta(new_rows, ins_dir, self._parts)),
+            ("upd", lambda: self._write_delta(upd_delta, upd_dir, self._parts)),
             ("hosts", lambda: hosts.coalesce(min(self._parts, 4)).write.parquet(
                 os.path.join(d, "hosts"))),
             ("cands", lambda: candidates.coalesce(self._parts).write.parquet(
@@ -534,12 +741,12 @@ class SparkCrawler:
                 self, "payload_failures", self.payload_failures + validate())))
         self._commit_laps = {}
         if not os.environ.get("ABWCF_SERIAL_COMMIT"):
-            # default: the commit's independent jobs (frontier delta, hosts,
-            # candidates, payload validation) run CONCURRENTLY from driver
-            # threads — their driver-serialized latencies overlap and idle
-            # cores absorb the work (measured: 16-core round wall −20%; the
-            # serial opt-out exists for per-job lap profiling and for boxes
-            # where core contention at low parallelism dominates)
+            # default: the commit's independent jobs (insert delta, update
+            # delta, hosts, candidates, payload validation) run CONCURRENTLY
+            # from driver threads — their driver-serialized latencies overlap
+            # and idle cores absorb the work (measured: 16-core round wall
+            # −20%; the serial opt-out exists for per-job lap profiling and
+            # for boxes where core contention at low parallelism dominates)
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
                 for f in [ex.submit(j) for _, j in jobs]:
                     f.result()
@@ -548,20 +755,61 @@ class SparkCrawler:
                 _t = _time.time()
                 j()
                 self._commit_laps[f"t_commit_{tag}"] = round(_time.time() - _t, 3)
-        for b in touched:
-            self.bucket_map[b] = os.path.join(d, "frontier_delta", f"bucket={b}")
+        # advance the chains (an empty write leaves no bucket dirs → no ref)
+        for out, chain in ((ins_dir, self.chain_ins), (upd_dir, self.chain_upd)):
+            if os.path.isdir(out) and any(
+                e.startswith("bucket=") for e in os.listdir(out)
+            ):
+                chain.append(out)
+        # driver-known exact delta size (n_fetched + n_newly_dis): an
+        # Observation cannot ride an EMPTY partitionBy write (its metrics
+        # row never materializes), and the count is already in hand anyway
+        self.upd_rows += int(n_upd)
+        self._maybe_compact(d)
         self._reload_from(d)
         self._prune()
         return int(emit_obs.get["n"])
 
+    def _maybe_compact(self, d: str) -> None:
+        """Compact the delta chains into a fresh reconciled base when either
+        chain exceeds ``compact_after`` files.  Bucket count re-adapts here
+        (sizing rule: K ≈ frontier_rows / 2M target rows per bucket, power
+        of two, clamped to [32, 65536]) unless pinned by ``frontier_buckets``
+        — bucket identity only needs to be stable within one chain epoch, so
+        compaction is the natural re-bucketing point."""
+        if (
+            len(self.chain_ins) <= self.compact_after
+            and len(self.chain_upd) <= self.compact_after
+        ):
+            return
+        import math
+        import time as _time
+
+        _t = _time.time()
+        if self._adaptive_buckets and self.frontier_rows > 0:
+            target = max(self.frontier_rows / 2_000_000, 1.0)
+            self.n_buckets = int(
+                min(max(2 ** math.ceil(math.log2(target)), 32), 65536)
+            )
+        self._reload_frontier()  # chain views for the reconcile read
+        base_dir = os.path.join(d, "fr_base")
+        self._write_delta(self._reconciled_frontier(), base_dir, self._parts)
+        self.chain_base = base_dir
+        self.chain_ins = []
+        self.chain_upd = []
+        self.upd_rows = 0
+        self._commit_laps["t_commit_compact"] = round(_time.time() - _t, 3)
+
     def _referenced_round_dirs(self) -> set[str]:
-        """round=N dir names still needed: current bucket map + whatever the
+        """round=N dir names still needed: current chain + whatever the
         newest manifest references (crash before the next manifest must be
         able to resume from the previous one)."""
-        refs = {
-            os.path.basename(os.path.dirname(os.path.dirname(p)))
-            for p in self.bucket_map.values()
-        }
+        paths = (
+            ([self.chain_base] if self.chain_base else [])
+            + self.chain_ins
+            + self.chain_upd
+        )
+        refs = {os.path.basename(os.path.dirname(p)) for p in paths}
         return refs | self._manifest_keep
 
     def _prune(self) -> None:
@@ -607,12 +855,20 @@ class SparkCrawler:
             payload_failures=self.payload_failures,
             metrics=self.metrics,
             use_bloom=self.bloom is not None,
-            # the Iceberg-snapshot-manifest analogue: which immutable file
-            # set is each bucket's current content (work_dir-relative)
-            frontier_buckets={
-                str(b): os.path.relpath(p, self.work_dir)
-                for b, p in self.bucket_map.items()
-            },
+            # the Iceberg-snapshot-manifest analogue: the immutable file
+            # chains whose union IS the frontier (work_dir-relative) + the
+            # driver-known update-row count that gates the reconcile
+            # broadcast on resume
+            frontier_chain=dict(
+                base=(
+                    os.path.relpath(self.chain_base, self.work_dir)
+                    if self.chain_base else None
+                ),
+                ins=[os.path.relpath(p, self.work_dir) for p in self.chain_ins],
+                upd=[os.path.relpath(p, self.work_dir) for p in self.chain_upd],
+                upd_rows=self.upd_rows,
+                frontier_rows=self.frontier_rows,
+            ),
             n_buckets=self.n_buckets,
         )
         self._manifest_keep = self._referenced_round_dirs()
@@ -636,15 +892,31 @@ class SparkCrawler:
         self.candidates = self.spark.read.parquet(os.path.join(d, "candidates"))
 
     def _reload_frontier(self) -> None:
-        """The frontier DataFrame = one multi-path parquet scan over every
-        bucket's current file dir (pure scan → true size stats, column
-        pruning and predicate pushdown reach the files)."""
-        if self.bucket_map:
-            self.frontier = self.spark.read.parquet(
-                *sorted(set(self.bucket_map.values()))
+        """Rebuild the chain read views: multi-path parquet scans (pure
+        scans → true size stats, column pruning and predicate pushdown reach
+        the files; the dropped ``bucket`` partition column never enters the
+        round plans) + the lazily reconciled public ``frontier`` view."""
+        # recursiveFileLookup: the bucket= dirs are a write-side layout
+        # (file sizing + selective-compaction handle), not a read-side
+        # partition column — skipping partition inference also sidesteps
+        # Spark's one-root-per-table restriction for multi-round chains
+        def _read(paths):
+            return (
+                self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(*paths)
+                .select(*FRONTIER_COLS)
             )
-        else:
-            self.frontier = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        data_paths = ([self.chain_base] if self.chain_base else []) + self.chain_ins
+        self._data = (
+            _read(data_paths) if data_paths
+            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        self._upd = (
+            _read(self.chain_upd) if self.chain_upd
+            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
+        self.frontier = self._reconciled_frontier()
 
     def latest_snapshot(self) -> str | None:
         if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
@@ -667,11 +939,26 @@ class SparkCrawler:
         self.payload_failures = int(manifest.get("payload_failures", 0))
         self.metrics = list(manifest.get("metrics", []))
         self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
-        self.bucket_map = {
-            int(b): os.path.join(self.work_dir, rel)
-            for b, rel in manifest.get("frontier_buckets", {}).items()
-        }
+        ch = manifest.get("frontier_chain", {})
+        self.chain_base = (
+            os.path.join(self.work_dir, ch["base"]) if ch.get("base") else None
+        )
+        self.chain_ins = [os.path.join(self.work_dir, p) for p in ch.get("ins", [])]
+        self.chain_upd = [os.path.join(self.work_dir, p) for p in ch.get("upd", [])]
+        self.upd_rows = int(ch.get("upd_rows", 0))
+        self.frontier_rows = int(ch.get("frontier_rows", 0))
         self._manifest_keep = self._referenced_round_dirs()
+        # drop metrics rows a crashed run wrote past the resume point (the
+        # replay rewrites each round's file idempotently, but a config-
+        # changed resume must not inherit stale rows)
+        md = self._metrics_dir()
+        if os.path.isdir(md):
+            for f in os.listdir(md):
+                if (
+                    f.startswith("round=") and f.endswith(".parquet")
+                    and int(f[len("round="):-len(".parquet")]) >= self.rnd
+                ):
+                    os.unlink(os.path.join(md, f))
         self._reload_from(d)
         if self.use_bloom:
             bdir = os.path.join(self.work_dir, "bloom")
@@ -684,4 +971,4 @@ class SparkCrawler:
                 # the round loop, e.g. streaming seed intake): a fresh empty
                 # bloom would "prove" frontier URLs new → duplicates.
                 # Rebuild the set from a frontier url_hash scan instead.
-                self.bloom.rebuild_from(self.frontier, self.rnd)
+                self.bloom.rebuild_from(self.frontier)

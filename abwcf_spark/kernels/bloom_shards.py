@@ -20,9 +20,16 @@ actors/PageManager.scala:47-59``, never on one node):
   versioned shard files from shared storage.  A negative probe proves the
   URL was never inserted; positives fall through to the exact anti-join.
 
-Shard files live under ``<dir>/shard=S/v=R.bin`` (R = round that wrote it);
-versioned files are immutable, so worker caches never go stale and a killed
-run resumes from whatever version map its manifest recorded.  The local
+Shard files live under ``<dir>/shard=S/v=W.bin`` where W is a MONOTONIC
+write counter (never the round number: two writes in the same round — e.g.
+a restore-rebuild followed by that round's insert batch — must produce two
+distinct immutable files, or a long-lived python worker that cached the
+first file would serve stale bits and the resulting bloom false negatives
+would re-insert already-seen URLs).  Every write allocates a fresh W, so a
+path, once written, is never written again; worker caches additionally key
+on (mtime, size) as a defense-in-depth check.  A killed run resumes from
+whatever version map its manifest recorded, and the write counter re-syncs
+past any orphaned on-disk versions from the crashed run.  The local
 filesystem stands in for the cluster's shared store (DFS/object store) —
 on a real cluster each executor pulls only the shards its tasks touch
 (12 GB / 1024 shards ≈ 12 MB per shard at the design point).
@@ -38,21 +45,25 @@ import pandas as pd
 
 from .bloom import BloomFilter
 
-# per-worker cache of immutable shard files: path -> uint64 words
-_SHARD_CACHE: OrderedDict[str, np.ndarray] = OrderedDict()
+# per-worker cache of immutable shard files, keyed on (path, mtime_ns, size):
+# versions are never rewritten (monotonic write counter), and the stat key
+# makes even an out-of-protocol rewrite impossible to serve stale
+_SHARD_CACHE: OrderedDict[tuple, np.ndarray] = OrderedDict()
 _SHARD_CACHE_MAX = 64
 
 
 def _load_words(path: str, n_words: int) -> np.ndarray:
-    words = _SHARD_CACHE.get(path)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    words = _SHARD_CACHE.get(key)
     if words is None:
         words = np.fromfile(path, dtype=np.uint64)
         assert len(words) == n_words, f"shard file {path}: {len(words)} != {n_words}"
-        _SHARD_CACHE[path] = words
+        _SHARD_CACHE[key] = words
         while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
             _SHARD_CACHE.popitem(last=False)
     else:
-        _SHARD_CACHE.move_to_end(path)
+        _SHARD_CACHE.move_to_end(key)
     return words
 
 
@@ -72,14 +83,31 @@ class ShardedBloom:
         self.n_bits = proto.n_bits
         self.n_hashes = proto.n_hashes
         self.n_words = self.n_bits // 64
-        self.versions: dict[int, int] = {}   # shard -> round version
+        self.versions: dict[int, int] = {}   # shard -> write-counter version
         self.n_added = 0
+        # monotonic write counter: every add/rebuild allocates a fresh value,
+        # so no shard path is ever written twice.  Synced past any on-disk
+        # versions (a crashed run's post-manifest writes would otherwise
+        # collide on resume).
+        self.wseq = self._disk_max_version()
+
+    def _disk_max_version(self) -> int:
+        mx = 0
+        if os.path.isdir(self.dir):
+            for ent in os.listdir(self.dir):
+                if not ent.startswith("shard="):
+                    continue
+                sd = os.path.join(self.dir, ent)
+                for f in os.listdir(sd):
+                    if f.startswith("v=") and f.endswith(".bin"):
+                        mx = max(mx, int(f[2:-4]))
+        return mx
 
     # ------------------------------------------------------------- metadata
     def to_manifest(self) -> dict:
         return dict(
             n_shards=self.n_shards, n_bits=self.n_bits, n_hashes=self.n_hashes,
-            n_added=self.n_added,
+            n_added=self.n_added, wseq=self.wseq,
             versions={str(s): v for s, v in self.versions.items()},
         )
 
@@ -93,18 +121,25 @@ class ShardedBloom:
         sb.n_words = sb.n_bits // 64
         sb.versions = {int(s): int(v) for s, v in m["versions"].items()}
         sb.n_added = int(m["n_added"])
+        # never reuse a version a crashed run may have written post-manifest
+        sb.wseq = max(int(m.get("wseq", 0)),
+                      max(sb.versions.values(), default=0),
+                      sb._disk_max_version())
         return sb
 
     def _path(self, shard: int, version: int) -> str:
         return os.path.join(self.dir, f"shard={shard:05d}", f"v={version:06d}.bin")
 
     # ------------------------------------------------------------- update
-    def add_dataframe(self, df, hash_col: str, rnd: int) -> int:
+    def add_dataframe(self, df, hash_col: str) -> int:
         """OR the hashes of ``df[hash_col]`` into the shard files, executor-
-        side, as version ``rnd``.  Returns rows added; driver traffic is one
-        (shard, count) row per touched shard."""
+        side, under a freshly allocated write-counter version (paths are
+        never rewritten — see module docstring).  Returns rows added; driver
+        traffic is one (shard, count) row per touched shard."""
         from pyspark.sql import functions as F
 
+        self.wseq += 1
+        wv = self.wseq
         directory, n_shards = self.dir, self.n_shards
         n_bits, n_hashes, n_words = self.n_bits, self.n_hashes, self.n_words
         versions = dict(self.versions)
@@ -119,7 +154,7 @@ class ShardedBloom:
                                     f"v={cur:06d}.bin")
                 bf.words = np.fromfile(path, dtype=np.uint64)
             bf.add_hashes(hashes)
-            out = os.path.join(directory, f"shard={shard:05d}", f"v={rnd:06d}.bin")
+            out = os.path.join(directory, f"shard={shard:05d}", f"v={wv:06d}.bin")
             os.makedirs(os.path.dirname(out), exist_ok=True)
             tmp = out + f".tmp{os.getpid()}"
             bf.words.tofile(tmp)
@@ -135,7 +170,7 @@ class ShardedBloom:
         )
         added = 0
         for r in rows:
-            self.versions[int(r.shard)] = rnd
+            self.versions[int(r.shard)] = wv
             added += int(r.n)
         self.n_added += added
         return added
@@ -170,13 +205,14 @@ class ShardedBloom:
         return probe
 
     # ------------------------------------------------------------- rebuild
-    def rebuild_from(self, frontier, rnd: int) -> int:
+    def rebuild_from(self, frontier) -> int:
         """Coherence repair: reconstruct the whole set from a frontier
         url_hash scan (restore-without-bloom-state, or external appends that
-        bypassed the round loop)."""
+        bypassed the round loop).  The rebuild gets its own write-counter
+        version, so a subsequent same-round add can never overwrite it."""
         self.versions = {}
         self.n_added = 0
-        return self.add_dataframe(frontier.select("url_hash"), "url_hash", rnd)
+        return self.add_dataframe(frontier.select("url_hash"), "url_hash")
 
     def prune(self, keep_versions: dict[int, set[int]] | None = None) -> None:
         """Delete shard file versions not referenced by the current map nor

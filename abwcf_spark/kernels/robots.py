@@ -43,6 +43,48 @@ VALID_RULES_LIFETIME_S = 24 * 3600
 UNAVAILABLE_RULES_LIFETIME_S = 24 * 3600
 UNREACHABLE_RULES_LIFETIME_S = 3600
 
+# reference.conf:237-242 (robots.txt fetching)
+ROBOTS_MAX_CONTENT_LENGTH = 500 * 1024   # bytes consumed before parsing
+ROBOTS_MAX_REDIRECTS = 5                 # follow hops; more → unavailable
+
+
+def truncate_robots_body(body: str | None) -> str | None:
+    """RobotsFetcher.scala:85-90: at most ``max-content-length`` BYTES of
+    the robots.txt stream are consumed before parsing — a rule line crossing
+    the cut is seen truncated, which can change the compiled rules (the
+    truncated prefix is authoritative, exactly like the reference's
+    ``.take(maxContentLength)`` on the byte stream)."""
+    if body is None:
+        return None
+    b = body.encode("utf-8")
+    if len(b) <= ROBOTS_MAX_CONTENT_LENGTH:
+        return body
+    return b[:ROBOTS_MAX_CONTENT_LENGTH].decode("utf-8", errors="ignore")
+
+
+def resolve_robots_redirect(sa: str, robots_by_sa: dict,
+                            max_redirects: int = ROBOTS_MAX_REDIRECTS):
+    """Effective robots record for host ``sa`` after following robots.txt
+    redirects (RobotsFetcher.scala:99-110): up to ``max_redirects`` hops are
+    followed; a longer chain (or a loop) is Unavailable (:106-108), and a
+    redirect to a host with no robots record is the caller's missing-host
+    convention (Unavailable).  The final target's record — including any
+    time-varying body columns — becomes the origin host's effective record.
+    Returns None when ``sa`` itself has no record."""
+    row = robots_by_sa.get(sa)
+    hops = 0
+    while row is not None and row.get("fetch_outcome") == "redirect":
+        if hops >= max_redirects:
+            return dict(scheme_and_authority=sa, fetch_outcome="unavailable",
+                        robots_body=None)
+        tgt = row.get("robots_redirect_to")
+        row = robots_by_sa.get(tgt) if isinstance(tgt, str) else None
+        hops += 1
+    if row is None and hops > 0:
+        return dict(scheme_and_authority=sa, fetch_outcome="unavailable",
+                    robots_body=None)
+    return row
+
 
 def clamp_crawl_delay(delay_ms: int | None) -> int:
     """HostManager.scala:126-136: default if unset/negative, then clamp."""
@@ -149,7 +191,10 @@ def host_outcome(
     which keeps the old row and only bumps valid_until).
     """
     if fetch_outcome == "ok":
-        mode, rules, delay = parse_robots_txt(body, user_agents)
+        # 500 KiB byte truncation BEFORE parsing (RobotsFetcher.scala:85-90)
+        mode, rules, delay = parse_robots_txt(
+            truncate_robots_body(body), user_agents
+        )
         return mode, rules, delay, VALID_RULES_LIFETIME_S
     if fetch_outcome == "unavailable":
         return MODE_ALLOW_ALL, "", DEFAULT_CRAWL_DELAY_MS, UNAVAILABLE_RULES_LIFETIME_S

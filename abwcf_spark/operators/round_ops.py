@@ -191,6 +191,69 @@ def robots_refresh(
     )
 
 
+def resolve_robots_redirects(robots_corpus: DataFrame) -> DataFrame:
+    """Robots.txt redirect resolution (RobotsFetcher.scala:99-110): rows
+    with ``fetch_outcome='redirect'`` take their ``robots_redirect_to``
+    target's record; at most ``max-redirects`` (5) hops are followed, and a
+    longer chain, a loop, or a dangling target becomes Unavailable
+    (:106-108 → HostManager.Unavailable → ALLOW_ALL).
+
+    Resolved ONCE at crawler init — 5 broadcast self-joins over the
+    hosts-scale corpus (the per-round refresh then joins the effective
+    records).  Mirrors ``kernels.robots.resolve_robots_redirect``."""
+    from ..kernels.robots import ROBOTS_MAX_REDIRECTS
+
+    if "robots_redirect_to" not in robots_corpus.columns:
+        return robots_corpus
+    val_cols = [
+        c for c in robots_corpus.columns
+        if c not in ("scheme_and_authority", "robots_redirect_to")
+    ]
+    tgt = F.broadcast(
+        robots_corpus.select(
+            F.col("scheme_and_authority").alias("_t"),
+            *[F.col(c).alias(f"_t_{c}") for c in val_cols],
+            F.col("robots_redirect_to").alias("_t_next"),
+        )
+    )
+    cur = robots_corpus.select(
+        "scheme_and_authority", *val_cols,
+        F.col("robots_redirect_to").alias("_next"),
+    )
+    for _ in range(ROBOTS_MAX_REDIRECTS):
+        pending = F.col("fetch_outcome") == "redirect"
+        hit = pending & F.col("_t").isNotNull()
+        dangling = pending & F.col("_t").isNull()
+        cur = cur.join(tgt, F.col("_next") == F.col("_t"), "left").select(
+            "scheme_and_authority",
+            *[
+                F.when(hit, F.col(f"_t_{c}"))
+                .when(
+                    dangling,
+                    F.lit("unavailable") if c == "fetch_outcome" else F.lit(None),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in val_cols
+            ],
+            F.when(hit, F.col("_t_next")).alias("_next"),
+        )
+    # still redirecting after max hops → Unavailable
+    exceeded = F.col("fetch_outcome") == "redirect"
+    return cur.select(
+        "scheme_and_authority",
+        *[
+            F.when(
+                exceeded,
+                F.lit("unavailable") if c == "fetch_outcome" else F.lit(None),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ],
+    )
+
+
 # -- O6 + O5: priority assignment + frontier insert rows ---------------------
 
 def priority_column(cfg: CrawlConfig) -> Column:
@@ -369,6 +432,20 @@ def advance_gates(
 PARSEABLE_CONTENT_TYPES = ("text/html", "application/xhtml+xml")  # Fetcher.scala:31
 
 
+def body_length_col(df: DataFrame) -> Column:
+    """Canonical body size for every fetch-side gate (Fetcher.scala:142
+    LengthLimitExceeded): the content_length metadata column when present
+    (keeps the binary payload column out of the emit-path scan — measured
+    ~2× scan cost otherwise), else length(bytes).  The emit gate AND the
+    default payload consumer both derive from THIS one expression, so link
+    expansion and payload accounting can never diverge on size; an actually
+    truncated transfer is still caught by the consumer's decode/pixel
+    checks, which run on the real bytes."""
+    if "content_length" in df.columns:
+        return F.col("content_length")
+    return F.when(F.col("bytes").isNotNull(), F.length(F.col("bytes")))
+
+
 def _nofollow_col(c: Column) -> Column:
     """X-Robots-Tag / meta-robots token test (RobotsHeaderFilter.scala:24-38,
     HtmlParser.scala:65-72): comma-split, trimmed, case-insensitive equality
@@ -420,13 +497,9 @@ def fetch_and_emit(
         )
     )
 
-    # body-size gate (Fetcher.scala:142,168-170): prefer the metadata
-    # column so the emit path's corpus scan never reads the binary payload
-    # column (measured ~2× scan cost per round otherwise)
-    if "content_length" in fetched.columns:
-        body_len = F.col("content_length")
-    else:
-        body_len = F.when(F.col("bytes").isNotNull(), F.length(F.col("bytes")))
+    # body-size gate (Fetcher.scala:142,168-170) — shared expression with
+    # the payload consumer (body_length_col) so the two gates agree
+    body_len = body_length_col(fetched)
     too_big = body_len.isNotNull() & (body_len > F.lit(cfg.max_content_length))
     gate = (
         (sc == 200)

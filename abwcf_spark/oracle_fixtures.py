@@ -317,14 +317,166 @@ def o15_corpus() -> pd.DataFrame:
     return pdf.apply(corrupt, axis=1)
 
 
+# --------------------------------------------------------------------------
+# Independent image-decoder mirror (closes the round-2 oracle self-reference:
+# these fixtures previously ran the SAME kernel as the query, proving only
+# the Arrow plumbing).  Everything below re-implements the public formats —
+# PNG (RFC 2083 subset) and the deterministic ABWL lossy container — without
+# importing kernels/imagecodec's decode path; pixel math (unfilter, luma,
+# a-hash, PSNR) is written independently (exact-integer / Fraction
+# arithmetic where the kernel uses numpy float reductions).
+# --------------------------------------------------------------------------
+
+def _mirror_decode_png(data: bytes) -> np.ndarray:
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not png")
+    pos, w, h = 8, None, None
+    idat = []
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            if body[8] != 8 or body[9] != 2 or body[12] != 0:
+                raise ValueError("unsupported png subset")
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad scanline payload")
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        base = y * stride
+        for i in range(stride):
+            a = out[base + i - 3] if i >= 3 else 0
+            b = out[base - stride + i] if y > 0 else 0
+            c = out[base - stride + i - 3] if (y > 0 and i >= 3) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad filter {f}")
+            out[base + i] = (line[i] + pred) & 0xFF
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
+def _mirror_decode_lossy(data: bytes) -> np.ndarray:
+    import struct
+    import zlib
+
+    if data[:4] != b"ABWL":
+        raise ValueError("not abwl")
+    w, h, step = struct.unpack(">IIB", data[8:17])
+    q = zlib.decompress(data[17:])
+    if len(q) != h * w * 3:
+        raise ValueError("bad quant payload")
+    px = np.frombuffer(q, dtype=np.uint8).astype(np.int64) * int(step)
+    return np.minimum(px, 255).astype(np.uint8).reshape(h, w, 3)
+
+
+def mirror_decode(data: bytes) -> np.ndarray:
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return _mirror_decode_png(data)
+        if data[:4] == b"ABWL":
+            return _mirror_decode_lossy(data)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"corrupt: {e}") from e
+    raise ValueError("unknown container")
+
+
+def _mirror_phash(px: np.ndarray) -> int:
+    """64-bit average hash via EXACT integer/Fraction arithmetic (the kernel
+    uses float64 means; both resolve identically away from exact ties)."""
+    from fractions import Fraction
+
+    h, w, _ = px.shape
+    rgbsum = px.astype(np.int64).sum(axis=2)  # 3×gray, exact ints
+    blocks = []
+    for i in range(8):
+        y0, y1 = (i * h) // 8, ((i + 1) * h) // 8
+        y1 = max(y1, y0 + 1)
+        for j in range(8):
+            x0, x1 = (j * w) // 8, ((j + 1) * w) // 8
+            x1 = max(x1, x0 + 1)
+            cell = rgbsum[y0:y1, x0:x1]
+            blocks.append(Fraction(int(cell.sum()), cell.size * 3))
+    mean = sum(blocks, Fraction(0)) / 64
+    v = 0
+    for b in blocks:
+        v = (v << 1) | int(b > mean)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _mirror_psnr_ge(a: np.ndarray, ref: np.ndarray, threshold_db: float) -> bool:
+    """PSNR ≥ threshold via exact-integer MSE (sum of squared diffs is
+    exact; the comparison is mse ≤ 255² / 10^(t/10))."""
+    if a.shape != ref.shape:
+        return False
+    diff = a.astype(np.int64) - ref.astype(np.int64)
+    sse = int((diff * diff).sum())
+    n = diff.size
+    # psnr >= t  ⟺  mse <= 255^2 / 10^(t/10)  ⟺  sse * 10^(t/10) <= 255^2 * n
+    return sse * (10.0 ** (threshold_db / 10.0)) <= 255.0 * 255.0 * n
+
+
 def build_payload_validate() -> pd.DataFrame:
-    from .operators.udfs import validate_payload_batches
+    """Mirror of the o15 payload validator: decode with the INDEPENDENT
+    decoder above, PSNR/phash/caption checks in exact arithmetic — the
+    driver gate now checks the kernel's decode/validate semantics, not just
+    that mapInPandas moved the bytes."""
+    from .kernels.imagecodec import gen_pixels  # corpus DEFINITION, not decode
 
     pdf = o15_corpus()[
         ["url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash"]
     ]
-    out = pd.concat(list(validate_payload_batches(iter([pdf]))), ignore_index=True)
-    return out.astype({"url": "object", "payload_ok": "bool"})
+    oks = []
+    for row in pdf.itertuples(index=False):
+        try:
+            px = mirror_decode(bytes(row.bytes))
+        except ValueError:
+            oks.append(False)
+            continue
+        ref = gen_pixels(str(row.image_id), int(row.w), int(row.h))
+        if row.fmt == "png":
+            pix_ok = px.shape == ref.shape and bool((px == ref).all())
+            ham_ok = _mirror_phash(px) == int(row.phash)
+        else:
+            pix_ok = _mirror_psnr_ge(px, ref, 40.0)
+            ham = bin(
+                (_mirror_phash(px) ^ int(row.phash)) & ((1 << 64) - 1)
+            ).count("1")
+            ham_ok = ham <= 8
+        expected_caption = (
+            f"caption of {row.image_id}: deterministic text "
+            + str((xxhash64_str(str(row.url)) & 0x7FFFFFFFFFFFFFFF) % 1000)
+        )
+        oks.append(pix_ok and ham_ok and row.caption == expected_caption)
+    return pd.DataFrame(
+        {"url": pdf["url"].astype(object), "payload_ok": oks}
+    ).astype({"url": "object", "payload_ok": "bool"})
 
 
 WINNOW_K = 8   # char k-gram length
@@ -359,15 +511,29 @@ def build_winnow() -> pd.DataFrame:
 
 
 def build_image_stats() -> pd.DataFrame:
-    """Mirror of queries.image_stats_extract run in-process on the same
-    deterministic image corpus (decode → shape + mean luma + phash)."""
-    from .operators.udfs import image_stats_batches
+    """Mirror of queries.image_stats_extract computed by the INDEPENDENT
+    decoder (mirror_decode/_mirror_phash above — exact-integer pixel math),
+    NOT the engine kernel: the driver gate checks decode semantics."""
     from .testing.corpus import T2_MULTI, gen_corpus
 
     pdf = gen_corpus(T2_MULTI)["corpus"]
     pdf = pdf[pdf["bytes"].notna()][["url", "bytes"]].reset_index(drop=True)
-    out = pd.concat(list(image_stats_batches(iter([pdf]))), ignore_index=True)
-    return out
+    rows = []
+    for url, data in zip(pdf["url"], pdf["bytes"]):
+        try:
+            px = mirror_decode(bytes(data))
+        except ValueError:
+            continue
+        total, n = int(px.astype(np.int64).sum()), px.size
+        # exact int sum / exact count → identical float64 mean as the kernel
+        rows.append((
+            url, int(px.shape[1]), int(px.shape[0]),
+            int(float(total) / n * 1000), _mirror_phash(px),
+        ))
+    return pd.DataFrame(
+        rows, columns=["url", "w", "h", "mean_luma_milli", "phash"]
+    ).astype({"url": "object", "w": "int32", "h": "int32",
+              "mean_luma_milli": "int64", "phash": "int64"})
 
 
 BUILDERS = {
@@ -390,15 +556,6 @@ def ensure_fixtures(force: bool = False) -> None:
             _write(name, builder())
 
 
-if __name__ == "__main__":
-    import sys
-
-    ensure_fixtures(force="--force" in sys.argv)
-    for name in BUILDERS:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(fixture_path(name))
-        print(f"{name}: {t.num_rows} rows, {t.schema.names}")
 
 EMB_BUCKET_CAP = 100  # signature-bucket size cap for the near-dup self-join
 
@@ -432,3 +589,37 @@ def build_emb_near_dup() -> pd.DataFrame:
 
 
 BUILDERS["embedding_near_dup_pairs"] = build_emb_near_dup
+
+
+def build_metrics_table() -> pd.DataFrame:
+    """Mirror of queries.o20_metrics_table: the pure-python simulator's
+    per-round metric COUNTS (independent of the engine's Observations)
+    mapped through the shared long-format stage shaping."""
+    from .config import CrawlConfig
+    from .engine.crawler import metrics_stage_rows
+    from .testing.corpus import T1_MICRO, gen_corpus
+    from .testing.oracle import crawl_oracle
+
+    tables = gen_corpus(T1_MICRO)
+    res = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"],
+                       CrawlConfig())
+    rows = [r for m in res.metrics for r in metrics_stage_rows(m)]
+    pdf = pd.DataFrame(rows)[["round", "stage", "passed", "rejected"]]
+    return pdf.astype({
+        "round": "int32", "stage": "object",
+        "passed": "int64", "rejected": "int64",
+    })
+
+
+BUILDERS["o20_metrics_table"] = build_metrics_table
+
+
+if __name__ == "__main__":
+    import sys
+
+    ensure_fixtures(force="--force" in sys.argv)
+    for name in BUILDERS:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(fixture_path(name))
+        print(f"{name}: {t.num_rows} rows, {t.schema.names}")

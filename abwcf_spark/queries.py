@@ -534,7 +534,14 @@ def minhash_lsh_candidates(spark, sf_dir):
     # exact-Jaccard confirm: candidate pairs only (pairs ≪ corpus → broadcast)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # semi-join the doc_b shingle side down to candidate docs FIRST (the
+    # tiny pair-doc set broadcast into the shingle scan), so the
+    # (doc_b, shingle) equi-join below shuffles only candidate docs'
+    # shingles — never the full corpus shingle table
+    sb = (
+        shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        .join(F.broadcast(pairs.select("doc_b").distinct()), "doc_b", "semi")
+    )
     inter = (
         F.broadcast(pairs).join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
@@ -694,6 +701,37 @@ def crawl_t1_micro(spark, sf_dir):
 QUERIES["crawl_t1_micro"] = crawl_t1_micro
 
 
+def o20_metrics_table(spark, sf_dir):
+    """O20 — the durable per-(round, stage) metrics table: the engine
+    appends one row per pipeline stage per round at commit time
+    (passed/rejected/wall), the queryable analogue of the reference's
+    per-stage OTel counters (metrics/FilterMetrics.scala:176-182
+    passed/rejected, FetcherMetrics.scala:130-145 fetch counters).  Runs
+    the t1-micro crawl and returns the table's deterministic columns.
+
+    Oracle: constructed fixture — the pure-python ABWCF simulator's
+    per-round counts mapped through the same long-format shaping (the
+    COUNTS come from two independent engines: Spark Observations here,
+    the python simulator there).
+    """
+    from .engine.crawler import SparkCrawler
+    from .testing.corpus import T1_MICRO, gen_corpus
+    from .testing.spark_fixtures import corpus_to_spark
+
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    # no checkpoint_dir → work_dir is a fresh mkdtemp; the metrics table is
+    # written there per round and read back lazily (files persist)
+    crawler = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], collect_metrics=True
+    )
+    crawler.run(seeds=sdfs["seeds"])
+    return crawler.metrics_table().select("round", "stage", "passed", "rejected")
+
+
+QUERIES["o20_metrics_table"] = o20_metrics_table
+
+
 # ---------------------------------------------------------------------------
 # Constructed-oracle registration (oracle_fixtures.py): expected results
 # precomputed by independent pure-python mirrors → parquet → DuckDB SELECT *.
@@ -708,6 +746,7 @@ for _name in (
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "crawl_t1_micro",
+    "o20_metrics_table",
 ):
     ORACLE[_name] = _fx(_name)
 
@@ -753,8 +792,10 @@ def o4_bloom_probe(spark, sf_dir):
 # scala:34-50, UserCode.scala:68-69): decode + PSNR/phash/caption checks over
 # a deterministically CORRUPTED image corpus (~20% truncated bytes or
 # tampered captions), via the exact mapInPandas kernel the crawl loop runs.
-# Oracle: fixture from the same kernel run in-process on the same pandas
-# corpus — the gate verifies the distributed Arrow plumbing end to end.
+# Oracle: fixture from an INDEPENDENT pure-python decoder mirror
+# (oracle_fixtures.mirror_decode — separate PNG/ABWL unfilter + exact-
+# integer PSNR/Fraction a-hash), so the gate checks the kernel's
+# decode/validate semantics, not just the distributed Arrow plumbing.
 # ---------------------------------------------------------------------------
 @q("o15_payload_validate", _fx("o15_payload_validate"))
 def o15_payload_validate(spark, sf_dir):
@@ -1092,7 +1133,8 @@ ORACLE["doc_fingerprint_winnow"] = _fx("doc_fingerprint_winnow")
 # analogue of the text-quality signals, running the same Arrow-batched
 # mapInPandas plumbing the crawl's payload validator uses (binary column in,
 # typed columns out, pixel math vectorized in numpy).  Oracle: fixture from
-# the identical kernel run in-process (oracle_fixtures.build_image_stats).
+# the INDEPENDENT decoder mirror (oracle_fixtures.mirror_decode +
+# exact-arithmetic luma/a-hash), so decode semantics are gate-checked.
 # ---------------------------------------------------------------------------
 def image_stats_extract(spark, sf_dir):
     import pandas as pd

@@ -33,7 +33,13 @@ def stream_rounds(
     micro-batch trigger.  Blocks until the crawl drains (or ``max_rounds``),
     then returns the CrawlResult-equivalent state from the crawler."""
     spark = crawler.spark
-    if seeds is not None:
+    # restart semantics: a restarted query (same streaming checkpoint)
+    # replays its last trigger into _tick — resume the crawler from its own
+    # manifest when one exists, so the replay CONTINUES the crawl instead
+    # of re-running round 0 on a freshly seeded frontier
+    if crawler.checkpoint_dir and crawler.latest_snapshot() is not None:
+        crawler._restore()
+    elif seeds is not None:
         crawler.seed(seeds)
     limit = max_rounds if max_rounds is not None else crawler.cfg.max_rounds
     state = {"done": False}
@@ -62,8 +68,11 @@ def stream_rounds(
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     q = writer.start()
     try:
+        # bounded-wait polling on awaitTermination — processAllAvailable
+        # against a continuously producing rate source can block forever
+        # when rounds lag the tick rate
         while not state["done"] and q.isActive:
-            q.processAllAvailable()
+            q.awaitTermination(1)
     finally:
         q.stop()
     if crawler.checkpoint_dir and not state["done"]:

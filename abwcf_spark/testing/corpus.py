@@ -59,6 +59,16 @@ class CorpusSpec:
     # fetch-time strict re-evaluation after TTL expiry
     # (StrictRobotsFilter.scala:72-133 + HostManager.scala:187-189)
     robots_changes: dict[int, tuple[float, str]] = field(default_factory=dict)
+    # host idx → target host idx: robots.txt answers with a redirect to the
+    # target host's robots.txt (RobotsFetcher.scala:99-110; ≤5 hops
+    # followed, longer/looping/dangling → unavailable).  Chains are built by
+    # chaining entries (a→b, b→c, ...); a target of -1 is a dangling host.
+    robots_redirects: dict[int, int] = field(default_factory=dict)
+    # hosts whose robots body exceeds the 500 KiB fetch cap: a straddling
+    # rule is bisected by the cut and a final "Disallow: /private/" lies
+    # entirely beyond it — truncation CHANGES the compiled rules
+    # (RobotsFetcher.scala:85-90 truncate-then-parse)
+    robots_huge_hosts: tuple[int, ...] = ()
     with_images: bool = True        # False skips byte payloads (fast graph-only tests)
     fanout: int = 2                 # link-tree fanout (children of j: fanout*j+1..+fanout)
     # True → every parseable page also carries a body_html column with REAL
@@ -98,6 +108,27 @@ def _dirty_link(host_idx: int, j: int) -> str:
         f"https://h{host_idx}.example//p//{j + 1}",          # duplicate slashes
     ]
     return variants[_h(f"dirty|{host_idx}|{j}") % len(variants)]
+
+
+def _huge_robots_body(delay: float) -> str:
+    """A >500 KiB robots.txt whose compiled rules CHANGE under the fetch
+    cap's truncate-then-parse (RobotsFetcher.scala:85-90): the byte cut
+    bisects a "Disallow: /straddle-me/" line (the surviving "Disallow: /s"
+    prefix is a different rule) and the final "Disallow: /private/" lies
+    entirely beyond the cut — so the truncated parse ALLOWS /private/
+    while a full parse would block it."""
+    from ..kernels.robots import ROBOTS_MAX_CONTENT_LENGTH
+
+    head = f"User-agent: *\nCrawl-delay: {delay}\nDisallow: /keep-blocked/\n"
+    straddle = "Disallow: /straddle-me/\n"
+    cut_into_straddle = len("Disallow: /s")
+    pad_len = ROBOTS_MAX_CONTENT_LENGTH - len(head.encode()) - cut_into_straddle
+    return (
+        head
+        + "#" + "x" * (pad_len - 2) + "\n"
+        + straddle
+        + "Disallow: /private/\n"
+    )
 
 
 def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
@@ -203,24 +234,41 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
         change = spec.robots_changes.get(hi)
         body2 = change[1] if change else None
         switch_ms = int(change[0] * 1000) if change else None
-        if hi in spec.unavailable_hosts:
+        if hi in spec.robots_redirects:
+            tgt = spec.robots_redirects[hi]
+            robots_rows.append(dict(
+                scheme_and_authority=sa, fetch_outcome="redirect",
+                robots_body=None, robots_body2=None, switch_ms=None,
+                robots_redirect_to=(
+                    host_name(tgt) if tgt >= 0 else "https://nowhere.example"
+                ),
+            ))
+        elif hi in spec.unavailable_hosts:
             robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unavailable",
-                                    robots_body=None, robots_body2=body2, switch_ms=switch_ms))
+                                    robots_body=None, robots_body2=body2,
+                                    switch_ms=switch_ms, robots_redirect_to=None))
         elif hi in spec.unreachable_hosts:
             robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="unreachable",
-                                    robots_body=None, robots_body2=body2, switch_ms=switch_ms))
+                                    robots_body=None, robots_body2=body2,
+                                    switch_ms=switch_ms, robots_redirect_to=None))
         else:
             delay = spec.crawl_delays.get(hi, 1.0)
-            body = (
-                "User-agent: *\n"
-                "Disallow: /private/\n"
-                f"Crawl-delay: {delay}\n"
-            )
-            if hi % 3 == 1:
-                body += "Allow: /private/open/\nDisallow: /*.bin$\n"
+            if hi in spec.robots_huge_hosts:
+                body = _huge_robots_body(delay)
+            else:
+                body = (
+                    "User-agent: *\n"
+                    "Disallow: /private/\n"
+                    f"Crawl-delay: {delay}\n"
+                )
+                if hi % 3 == 1:
+                    body += "Allow: /private/open/\nDisallow: /*.bin$\n"
             robots_rows.append(dict(scheme_and_authority=sa, fetch_outcome="ok",
-                                    robots_body=body, robots_body2=body2, switch_ms=switch_ms))
+                                    robots_body=body, robots_body2=body2,
+                                    switch_ms=switch_ms, robots_redirect_to=None))
     robots = pd.DataFrame(robots_rows)
+    if all(v is None for v in robots["robots_redirect_to"]):
+        robots = robots.drop(columns=["robots_redirect_to"])
     # None+int mix makes pandas infer float64 for switch_ms — force a true
     # object column of ints (LongType rejects floats at Spark construction)
     robots["switch_ms"] = pd.Series(

@@ -70,7 +70,12 @@ from ..config import (
 from ..kernels.hashing import xxhash64_str
 from ..kernels.links import resolve_redirect
 from ..kernels.politeness import advance_gate, budget_for_round
-from ..kernels.robots import UNREACHABLE_RULES_LIFETIME_S, host_outcome, robots_allowed
+from ..kernels.robots import (
+    UNREACHABLE_RULES_LIFETIME_S,
+    host_outcome,
+    resolve_robots_redirect,
+    robots_allowed,
+)
 from ..kernels.urlnorm import normalize_url
 
 PARSEABLE_CONTENT_TYPES = ("text/html", "application/xhtml+xml")  # Fetcher.scala:31
@@ -128,6 +133,14 @@ def crawl_oracle(
     the engine's user prioritizer plug-point (UserCode.scala:34-35)."""
     corpus_by_url = {r["url"]: r for r in corpus.to_dict("records")}
     robots_by_sa = {r["scheme_and_authority"]: r for r in robots.to_dict("records")}
+    # robots.txt redirect chains resolve once, ≤5 hops; longer/dangling →
+    # unavailable (RobotsFetcher.scala:99-110 ≙ round_ops.resolve_robots_redirects)
+    if any(r.get("fetch_outcome") == "redirect" for r in robots_by_sa.values()):
+        robots_by_sa = {
+            sa: row
+            for sa in robots_by_sa
+            if (row := resolve_robots_redirect(sa, robots_by_sa)) is not None
+        }
 
     round_ms = int(cfg.round_seconds * 1000)
     frontier: dict[str, dict] = {}

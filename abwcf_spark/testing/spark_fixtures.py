@@ -25,12 +25,15 @@ def _clean(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def corpus_to_spark(spark: SparkSession, tables: dict) -> dict[str, DataFrame]:
+    robots_schema = ROBOTS_SCHEMA
+    if "robots_redirect_to" in tables["robots"].columns:
+        robots_schema += ", robots_redirect_to string"
     return {
         "corpus": spark.createDataFrame(
             _clean(tables["corpus"]).to_dict("records"), CORPUS_SCHEMA
         ),
         "robots": spark.createDataFrame(
-            _clean(tables["robots"]).to_dict("records"), ROBOTS_SCHEMA
+            _clean(tables["robots"]).to_dict("records"), robots_schema
         ),
         "seeds": spark.createDataFrame(
             _clean(tables["seeds"]).to_dict("records"), SEEDS_SCHEMA

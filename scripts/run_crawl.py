@@ -40,7 +40,7 @@ def parse_args():
     p.add_argument("--n-salts", type=int, default=0)
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--bloom-shards", type=int, default=16)
-    p.add_argument("--frontier-buckets", type=int, default=32)
+    p.add_argument("--frontier-buckets", type=int, default=None)
     p.add_argument("--parse-html", action="store_true")
     p.add_argument("--validate-payloads", action="store_true")
     return p.parse_args()

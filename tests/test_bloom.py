@@ -81,7 +81,7 @@ def test_sharded_bloom_probe_and_update(spark, tmp_path):
     df = spark.createDataFrame(
         [(xxhash64_str(u),) for u in member], "url_hash long"
     ).repartition(8)
-    added = sb.add_dataframe(df, "url_hash", rnd=0)
+    added = sb.add_dataframe(df, "url_hash")
     assert added == len(member)
     assert 0 < len(sb.versions) <= 8
 
@@ -105,6 +105,54 @@ def test_sharded_bloom_probe_and_update(spark, tmp_path):
         "url_hash long",
     )
     v_before = dict(sb.versions)
-    sb.add_dataframe(df2, "url_hash", rnd=1)
-    assert any(v == 1 for v in sb.versions.values())
+    sb.add_dataframe(df2, "url_hash")
+    assert any(v > max(v_before.values()) for v in sb.versions.values())
     assert all(sb.versions[s] >= v for s, v in v_before.items())
+
+
+def test_sharded_bloom_never_rewrites_a_version(spark, tmp_path):
+    """Shard-file immutability: a rebuild followed by a same-round add (the
+    restore-then-crawl sequence) must produce DISTINCT versioned files —
+    re-writing a path a long-lived worker already cached would serve stale
+    bits → bloom false negatives → duplicate frontier rows on re-discovered
+    URLs."""
+    import os
+
+    from abwcf_spark.kernels.bloom_shards import ShardedBloom
+    from abwcf_spark.kernels.hashing import xxhash64_str
+
+    d = str(tmp_path / "bloom")
+    sb = ShardedBloom(d, capacity=4_000, n_shards=4)
+    df1 = spark.createDataFrame(
+        [(xxhash64_str(f"https://a{i}.example/{i}"),) for i in range(500)],
+        "url_hash long",
+    )
+    sb.add_dataframe(df1, "url_hash")
+    v1 = dict(sb.versions)
+
+    # rebuild (as _restore does) then immediately add the same round's batch
+    sb.rebuild_from(df1.selectExpr("url_hash"))
+    v2 = dict(sb.versions)
+    df2 = spark.createDataFrame(
+        [(xxhash64_str(f"https://b{i}.example/{i}"),) for i in range(500)],
+        "url_hash long",
+    )
+    sb.add_dataframe(df2, "url_hash")
+    v3 = dict(sb.versions)
+
+    # strictly increasing write-counter versions: no path written twice
+    assert max(v2.values()) > max(v1.values())
+    assert max(v3.values()) > max(v2.values())
+    # every referenced version file exists and both batches probe positive
+    for s, v in sb.versions.items():
+        assert os.path.exists(os.path.join(d, f"shard={s:05d}", f"v={v:06d}.bin"))
+    from pyspark.sql import functions as F
+
+    probe = sb.make_probe_udf()
+    both = df1.unionByName(df2)
+    n_hit = both.select(probe(F.col("url_hash")).alias("m")).where("m").count()
+    assert n_hit == both.count(), "false negative after rebuild+add"
+
+    # manifest round-trip resumes the write counter past all on-disk versions
+    sb2 = ShardedBloom.from_manifest(d, sb.to_manifest())
+    assert sb2.wseq >= max(v3.values())

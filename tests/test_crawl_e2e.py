@@ -237,3 +237,61 @@ def test_payload_validation_detects_corruption(spark):
     )
     crawler.run(seeds=sdfs["seeds"])
     assert crawler.payload_failures >= 1
+
+
+def test_robots_redirects_and_truncation(spark):
+    """robots.txt fetch realism e2e (RobotsFetcher.scala:73-110): redirect
+    chains (1→2 resolves to the target's rules; 3↔4 loops → unavailable →
+    ALLOW_ALL) and a >500 KiB body whose truncate-then-parse COMPILES
+    DIFFERENT RULES than a full parse (beyond-cut Disallow lost) — the
+    engine must match the oracle on every row."""
+    spec = CorpusSpec(
+        n_hosts=6, urls_per_host=16, seed_hosts=6,
+        redirect_rate=0, error_rate=0, nofollow_rate=0,
+        with_images=False,
+        robots_redirects={1: 2, 3: 4, 4: 3},
+        robots_huge_hosts=(5,),
+    )
+    res, oracle = run_both(spark, spec, CrawlConfig(round_seconds=4.0))
+    assert_crawl_equal(res, oracle)
+    pdf = res.frontier_pdf()
+    # truncation changed behavior: the huge host's /private/ pages were
+    # fetched (the blocking rule lies beyond the 500 KiB cut) ...
+    h5_priv = pdf[(pdf["host"] == "https://h5.example")
+                  & pdf["url"].str.contains("/private/")]
+    assert len(h5_priv) > 0 and (h5_priv["status"] == "Processed").all()
+    # ... while a normal host's /private/ links are robots-blocked at the
+    # lenient filter (rules known from round 0 → dropped pre-insert, so
+    # they never even enter the frontier)
+    h0_priv = pdf[(pdf["host"] == "https://h0.example")
+                  & pdf["url"].str.contains("/private/")]
+    assert len(h0_priv) == 0
+    # loop hosts fell back to ALLOW_ALL (unavailable): their pages crawled
+    h3 = pdf[pdf["host"] == "https://h3.example"]
+    assert (h3["status"] != "Disallowed").all() and len(h3) > 0
+
+
+def test_relink_heavy_seen_set_broadcast_and_fallback(spark):
+    """Seen-set confirm under heavy re-discovery (popular URLs re-linked
+    every round): the maybe-set is NOT fpp-sized — every re-discovered URL
+    probes positive.  The broadcast gate's estimate (last round's emitted
+    count) is a true UPPER bound on the maybe-set, so it can never
+    under-gate; both the broadcast-confirm path (default 5M limit) and the
+    shuffled-fallback path (limit forced to 1) must match the oracle
+    exactly on the same corpus."""
+    spec = CorpusSpec(
+        n_hosts=4, urls_per_host=200, seed_hosts=4, with_images=False,
+        fanout=6, cross_host_rate=1, dirty_link_rate=0,
+        redirect_rate=5, error_rate=0, nofollow_rate=0,
+        crawl_delays={i: 0.0 for i in range(4)},
+    )
+    cfg = CrawlConfig(max_fetches_per_host_per_round=50)
+    res_b, oracle = run_both(spark, spec, cfg, use_bloom=True)
+    assert_crawl_equal(res_b, oracle)
+    # re-discovery really is heavy: total emitted far exceeds unique URLs
+    emitted_total = sum(m["emitted"] for m in oracle.metrics)
+    assert emitted_total > 1.5 * len(oracle.frontier)
+    res_f, _ = run_both(
+        spark, spec, cfg, use_bloom=True, seen_broadcast_limit=1
+    )
+    assert_crawl_equal(res_f, oracle)

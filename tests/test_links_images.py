@@ -105,3 +105,39 @@ def test_phash_properties():
 def test_decode_unknown_raises():
     with pytest.raises(ValueError):
         decode_image(b"garbage-bytes")
+
+
+def test_fixture_mirror_decoder_matches_kernel():
+    """The constructed-oracle image fixtures are built by an INDEPENDENT
+    decoder (oracle_fixtures.mirror_decode); it must agree with the engine
+    kernel on pixels, corruption classification, and a-hash bits for every
+    format — otherwise the driver gate would compare apples to oranges."""
+    import numpy as np
+
+    from abwcf_spark.kernels.imagecodec import (
+        decode_image,
+        encode_image,
+        gen_pixels,
+        phash64,
+    )
+    from abwcf_spark.oracle_fixtures import _mirror_phash, mirror_decode
+
+    for fmt in ("png", "jpeg", "webp"):
+        px = gen_pixels(f"mirror-{fmt}", 31, 22)
+        data = encode_image(px, fmt)
+        k = decode_image(data)
+        m = mirror_decode(data)
+        assert (k == m).all(), fmt
+        assert phash64(k) == _mirror_phash(m), fmt
+        # corruption classified identically (truncated tail)
+        cut = data[: len(data) - 9]
+        k_err = m_err = False
+        try:
+            decode_image(cut)
+        except ValueError:
+            k_err = True
+        try:
+            mirror_decode(cut)
+        except ValueError:
+            m_err = True
+        assert k_err == m_err, fmt

@@ -95,3 +95,54 @@ def test_resume_without_snapshot_raises(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_metrics_table_survives_resume_and_matches_oracle(spark, tmp_path):
+    """O20 durable metrics: the per-(round, stage) table written at commit
+    time must (a) be identical between an uninterrupted run and a
+    killed+resumed run, and (b) match the pure-python oracle's per-round
+    counts mapped through the same stage shaping."""
+    import pandas as pd
+
+    from abwcf_spark.engine.crawler import metrics_stage_rows
+
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"], CFG)
+    cols = ["round", "stage", "passed", "rejected"]
+
+    a = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG,
+        checkpoint_dir=str(tmp_path / "a"), checkpoint_interval=2,
+        collect_metrics=True,
+    )
+    a.run(seeds=sdfs["seeds"])
+    ta = (
+        a.metrics_table().toPandas()[cols]
+        .sort_values(["round", "stage"]).reset_index(drop=True)
+    )
+
+    ckpt_b = str(tmp_path / "b")
+    b1 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG,
+        checkpoint_dir=ckpt_b, checkpoint_interval=2, collect_metrics=True,
+    )
+    b1.run(seeds=sdfs["seeds"], stop_after_round=3)
+    del b1
+    b2 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CFG,
+        checkpoint_dir=ckpt_b, checkpoint_interval=2, collect_metrics=True,
+    )
+    b2.run(resume=True)
+    tb = (
+        b2.metrics_table().toPandas()[cols]
+        .sort_values(["round", "stage"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ta, tb)
+
+    exp = (
+        pd.DataFrame([r for m in oracle.metrics for r in metrics_stage_rows(m)])
+        [cols].sort_values(["round", "stage"]).reset_index(drop=True)
+        .astype(ta.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(ta, exp)

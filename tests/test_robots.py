@@ -131,3 +131,133 @@ def test_batch_matcher_matches_scalar():
             assert pd.isna(g)
         else:
             assert bool(g) == w
+
+
+# --------------------------------------------------------------------------
+# robots.txt fetch realism: 500 KiB truncate-then-parse + ≤5 redirects
+# (RobotsFetcher.scala:73-110; reference.conf:237-242)
+# --------------------------------------------------------------------------
+
+def test_truncation_is_byte_level_and_multibyte_safe():
+    from abwcf_spark.kernels.robots import (
+        ROBOTS_MAX_CONTENT_LENGTH,
+        truncate_robots_body,
+    )
+
+    assert truncate_robots_body(None) is None
+    small = "User-agent: *\nDisallow: /x/\n"
+    assert truncate_robots_body(small) == small
+    # cut lands inside a multibyte char → char dropped, no exception
+    body = "#" + "é" * (ROBOTS_MAX_CONTENT_LENGTH // 2) + "\nDisallow: /x/\n"
+    t = truncate_robots_body(body)
+    assert len(t.encode("utf-8")) <= ROBOTS_MAX_CONTENT_LENGTH
+    assert "Disallow" not in t
+
+
+def test_truncation_changes_compiled_rules():
+    """A rule crossing the cut survives as a DIFFERENT prefix and a rule
+    beyond the cut is lost entirely — host_outcome must compile the
+    truncated view (the reference parses only the first 500 KiB)."""
+    from abwcf_spark.kernels.robots import host_outcome, robots_allowed
+    from abwcf_spark.testing.corpus import _huge_robots_body
+
+    body = _huge_robots_body(1.0)
+    mode, rules, delay, _ = host_outcome("ok", body, ())
+    assert mode == "ALLOW_SOME"
+    # beyond-the-cut rule lost → /private/ ALLOWED under truncation
+    assert robots_allowed("https://h.example/private/1", mode, rules)
+    # pre-cut rule intact
+    assert not robots_allowed("https://h.example/keep-blocked/1", mode, rules)
+    # straddling rule survives as its truncated prefix "/s"
+    assert not robots_allowed("https://h.example/something", mode, rules)
+    # sanity: the UNtruncated body would have blocked /private/
+    from abwcf_spark.kernels.robots import parse_robots_txt
+
+    m2, r2, _ = parse_robots_txt(body, ())
+    assert not robots_allowed("https://h.example/private/1", m2, r2)
+
+
+def _redirect_corpus():
+    return {
+        "https://a.example": dict(fetch_outcome="redirect",
+                                  robots_redirect_to="https://b.example"),
+        "https://b.example": dict(fetch_outcome="redirect",
+                                  robots_redirect_to="https://c.example"),
+        "https://c.example": dict(fetch_outcome="ok",
+                                  robots_body="User-agent: *\nDisallow: /x/\n"),
+        "https://loop1.example": dict(fetch_outcome="redirect",
+                                      robots_redirect_to="https://loop2.example"),
+        "https://loop2.example": dict(fetch_outcome="redirect",
+                                      robots_redirect_to="https://loop1.example"),
+        "https://dangle.example": dict(fetch_outcome="redirect",
+                                       robots_redirect_to="https://missing.example"),
+    }
+
+
+def test_redirect_chain_resolves_to_target():
+    from abwcf_spark.kernels.robots import resolve_robots_redirect
+
+    rbs = _redirect_corpus()
+    row = resolve_robots_redirect("https://a.example", rbs)
+    assert row["fetch_outcome"] == "ok" and "Disallow: /x/" in row["robots_body"]
+
+
+def test_redirect_loop_and_dangle_are_unavailable():
+    from abwcf_spark.kernels.robots import resolve_robots_redirect
+
+    rbs = _redirect_corpus()
+    assert resolve_robots_redirect("https://loop1.example", rbs)["fetch_outcome"] == "unavailable"
+    assert resolve_robots_redirect("https://dangle.example", rbs)["fetch_outcome"] == "unavailable"
+
+
+def test_redirect_hop_limit_is_five():
+    from abwcf_spark.kernels.robots import resolve_robots_redirect
+
+    def chain(n):
+        rbs = {
+            f"https://h{i}.example": dict(
+                fetch_outcome="redirect",
+                robots_redirect_to=f"https://h{i + 1}.example",
+            )
+            for i in range(n)
+        }
+        rbs[f"https://h{n}.example"] = dict(fetch_outcome="ok", robots_body="")
+        return resolve_robots_redirect("https://h0.example", rbs)
+
+    assert chain(5)["fetch_outcome"] == "ok"          # 5 follows allowed
+    assert chain(6)["fetch_outcome"] == "unavailable"  # 6th → unavailable
+
+
+def test_spark_redirect_resolution_matches_python(spark):
+    """round_ops.resolve_robots_redirects (5 broadcast self-joins) must
+    agree row-for-row with the pure-python kernel resolver."""
+    import pandas as pd
+
+    from abwcf_spark.kernels.robots import resolve_robots_redirect
+    from abwcf_spark.operators.round_ops import resolve_robots_redirects
+
+    rbs = _redirect_corpus()
+    pdf = pd.DataFrame(
+        [
+            dict(
+                scheme_and_authority=sa,
+                fetch_outcome=r["fetch_outcome"],
+                robots_body=r.get("robots_body"),
+                robots_redirect_to=r.get("robots_redirect_to"),
+            )
+            for sa, r in rbs.items()
+        ]
+    )
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pd.notnull(pdf), None).to_dict("records"),
+        "scheme_and_authority string, fetch_outcome string, robots_body string,"
+        " robots_redirect_to string",
+    )
+    got = {
+        r.scheme_and_authority: (r.fetch_outcome, r.robots_body)
+        for r in resolve_robots_redirects(sdf).collect()
+    }
+    for sa in rbs:
+        exp = resolve_robots_redirect(sa, rbs)
+        assert got[sa][0] == exp["fetch_outcome"], sa
+        assert got[sa][1] == exp.get("robots_body"), sa

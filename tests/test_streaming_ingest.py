@@ -91,3 +91,43 @@ def test_streaming_rounds_match_oracle(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "stream-ck"),
     )
     assert_crawl_equal(res, oracle)
+
+
+def test_streaming_rounds_restart_resumes_from_manifest(spark, tmp_path):
+    """A restarted round-driver query must RESUME the crawl from the
+    crawler's own manifest (not re-seed round 0), and finish with the exact
+    oracle state — the replayed-trigger restart semantics."""
+    from abwcf_spark.engine.crawler import SparkCrawler
+    from abwcf_spark.streaming.rounds import stream_rounds
+    from abwcf_spark.testing.compare import assert_crawl_equal
+    from abwcf_spark.testing.corpus import T1_MICRO, gen_corpus
+    from abwcf_spark.testing.oracle import crawl_oracle
+    from abwcf_spark.testing.spark_fixtures import corpus_to_spark
+
+    tables = gen_corpus(T1_MICRO)
+    oracle = crawl_oracle(tables["corpus"], tables["robots"], tables["seeds"])
+    sdfs = corpus_to_spark(spark, tables)
+    ck = str(tmp_path / "crawler-ck")
+
+    c1 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CrawlConfig(),
+        checkpoint_dir=ck, checkpoint_interval=1, collect_metrics=False,
+    )
+    stream_rounds(
+        c1, seeds=sdfs["seeds"],
+        checkpoint_dir=str(tmp_path / "s1"), max_rounds=3,
+    )
+    stopped_at = c1.rnd
+    assert 0 < stopped_at < oracle.rounds, "must stop mid-crawl"
+
+    # "restart": fresh crawler + same crawler checkpoint; seeds passed but
+    # the manifest must win (no re-seeding)
+    c2 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CrawlConfig(),
+        checkpoint_dir=ck, checkpoint_interval=1, collect_metrics=False,
+    )
+    res = stream_rounds(
+        c2, seeds=sdfs["seeds"], checkpoint_dir=str(tmp_path / "s2"),
+    )
+    assert c2.rnd == oracle.rounds
+    assert_crawl_equal(res, oracle)
