@@ -84,6 +84,21 @@ CANDIDATES_SCHEMA = "url string, crawl_depth int, seq long"
 FRONTIER_COLS = [f.split()[0] for f in FRONTIER_SCHEMA.split(", ")]
 
 
+def adaptive_bucket_count(rows: int) -> int:
+    """Frontier bucket sizing rule (documented for operators): one bucket
+    per ~2M rows (a few hundred MB of frontier metadata per bucket file —
+    healthy parquet file sizes and enough parallel grain for compaction),
+    rounded to a power of two, clamped to [32, 65536].  At the 10^10-row
+    design point this yields 8192 buckets; tiny test tables stay at the
+    32 floor.  Applied at compaction time: bucket identity only has to be
+    stable within one delta-chain epoch, so compaction is the natural
+    re-bucketing point."""
+    import math
+
+    target = max(rows / 2_000_000, 1.0)
+    return int(min(max(2 ** math.ceil(math.log2(target)), 32), 65536))
+
+
 def metrics_stage_rows(m: dict) -> list[dict]:
     """One round's metric dict → long-format (round, stage, passed,
     rejected, wall_ms) rows for the durable metrics table — the queryable
@@ -272,6 +287,7 @@ class SparkCrawler:
         self.chain_upd: list[str] = []
         self.upd_rows = 0          # rows across chain_upd (gates broadcast)
         self.frontier_rows = 0     # total inserted rows (sizes adaptive K)
+        self._hosts_min_valid: int | None = None  # earliest rules expiry
         self._manifest_keep: set[str] = set()  # round dirs the last manifest needs
 
         self.frontier: DataFrame = spark.createDataFrame([], FRONTIER_SCHEMA)
@@ -464,7 +480,16 @@ class SparkCrawler:
         # round k+n is gated by CURRENT rules, not round-k rules.
         hosts_valid = self.hosts.where(F.col("valid_until") > F.lit(now_ms))
         access_hosts = cand.select("host").distinct()
-        if rnd > 0:
+        # a host holding Discovered rows is "accessed" too — but it can only
+        # enter `need` once its rules EXPIRE (it always has a hosts row from
+        # its own insert round).  min(valid_until) rides the hosts commit
+        # write as an Observation, so when nothing can be expired the
+        # Discovered-host scan (and its reconcile broadcast) is skipped —
+        # exact short-circuit, not a heuristic.
+        maybe_expired = (
+            self._hosts_min_valid is None or now_ms >= self._hosts_min_valid
+        )
+        if rnd > 0 and maybe_expired:
             access_hosts = access_hosts.unionByName(
                 self._discovered_view().select("host").distinct()
             ).distinct()
@@ -583,8 +608,14 @@ class SparkCrawler:
         hosts_next2 = advance_gates(hosts_next, fetched_counts, rnd, self.round_ms)
 
         # O10-O14 fetch + parse/emit; O15 fetch-result consumer (user plug-
-        # point or the default payload validator)
-        fetched, emitted = fetch_and_emit(sel, self.corpus, cfg, resolve_redirect_udf)
+        # point or the default payload validator).  Only the three columns
+        # the fetch join consumes are broadcast — sel's full frontier row
+        # (needed for the update delta) would double-ship ~100 MB rounds
+        # as driver-built broadcasts in the validate AND emit jobs.
+        fetch_sel = sel.select("url", "crawl_depth", "fetch_order")
+        fetched, emitted = fetch_and_emit(
+            fetch_sel, self.corpus, cfg, resolve_redirect_udf
+        )
         validate = None
         if self.fetch_consumer is not None and n_fetched:
             checks = self.fetch_consumer(fetched)
@@ -728,6 +759,8 @@ class SparkCrawler:
         upd_dir = os.path.join(d, "fr_upd")
         emit_obs = Observation(f"emitted-r{self.rnd}")
         candidates = candidates.observe(emit_obs, F.count(F.lit(1)).alias("n"))
+        hosts_obs = Observation(f"hosts-r{self.rnd}")
+        hosts = hosts.observe(hosts_obs, F.min("valid_until").alias("mv"))
         jobs = [
             ("ins", lambda: self._write_delta(new_rows, ins_dir, self._parts)),
             ("upd", lambda: self._write_delta(upd_delta, upd_dir, self._parts)),
@@ -765,6 +798,11 @@ class SparkCrawler:
         # Observation cannot ride an EMPTY partitionBy write (its metrics
         # row never materializes), and the count is already in hand anyway
         self.upd_rows += int(n_upd)
+        try:
+            mv = hosts_obs.get["mv"]
+            self._hosts_min_valid = int(mv) if mv is not None else None
+        except Exception:
+            self._hosts_min_valid = None  # conservative: assume expirable
         self._maybe_compact(d)
         self._reload_from(d)
         self._prune()
@@ -782,18 +820,16 @@ class SparkCrawler:
             and len(self.chain_upd) <= self.compact_after
         ):
             return
-        import math
         import time as _time
 
         _t = _time.time()
         if self._adaptive_buckets and self.frontier_rows > 0:
-            target = max(self.frontier_rows / 2_000_000, 1.0)
-            self.n_buckets = int(
-                min(max(2 ** math.ceil(math.log2(target)), 32), 65536)
-            )
+            self.n_buckets = adaptive_bucket_count(self.frontier_rows)
         self._reload_frontier()  # chain views for the reconcile read
         base_dir = os.path.join(d, "fr_base")
         self._write_delta(self._reconciled_frontier(), base_dir, self._parts)
+        if not any(e.startswith("bucket=") for e in os.listdir(base_dir)):
+            return  # empty table: nothing to reference, keep chains as-is
         self.chain_base = base_dir
         self.chain_ins = []
         self.chain_upd = []

@@ -131,11 +131,22 @@ def _huge_robots_body(delay: float) -> str:
     )
 
 
-def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
+def gen_corpus(
+    spec: CorpusSpec, only_hosts: "set[int] | None" = None
+) -> dict[str, pd.DataFrame]:
+    """``only_hosts``: restrict CORPUS row generation to those host indices
+    (robots + seeds are always generated in full — they are tiny).  Rows
+    are a pure function of (spec, host index), so host-sharded generation
+    is byte-identical to a full pass — bench.materialize_corpus uses this
+    to fan generation out over a process pool."""
     per_host = _urls_per_host(spec)
     rows = []
     w0, h0 = spec.image_size
-    for hi in range(spec.n_hosts):
+    host_iter = (
+        range(spec.n_hosts) if only_hosts is None
+        else sorted(h for h in only_hosts if h < spec.n_hosts)
+    )
+    for hi in host_iter:
         n = per_host[hi]
         for j in range(n):
             url = page_url(hi, j)
@@ -220,13 +231,14 @@ def gen_corpus(spec: CorpusSpec) -> dict[str, pd.DataFrame]:
                 )
             )
     corpus = pd.DataFrame(rows)
-    # keep None+int columns as true object ints (pandas would infer float64,
-    # which Spark's LongType rejects at DataFrame construction)
-    corpus["content_length"] = pd.Series(
-        [None if pd.isna(v) else int(v) for v in corpus["content_length"]],
-        index=corpus.index,
-        dtype="object",
-    )
+    if len(corpus):
+        # keep None+int columns as true object ints (pandas would infer
+        # float64, which Spark's LongType rejects at construction)
+        corpus["content_length"] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in corpus["content_length"]],
+            index=corpus.index,
+            dtype="object",
+        )
 
     robots_rows = []
     for hi in range(spec.n_hosts):

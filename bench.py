@@ -66,15 +66,18 @@ def bench_spec() -> CorpusSpec:
     n_hosts = int(os.environ.get("ABWCF_BENCH_HOSTS", "512"))
     urls = int(os.environ.get("ABWCF_BENCH_URLS", "2000"))
     fanout = int(os.environ.get("ABWCF_BENCH_FANOUT", "48"))
+    img = os.environ.get("ABWCF_BENCH_IMG", "112x80")
+    iw, ih = (int(v) for v in img.split("x"))
     return CorpusSpec(
         n_hosts=n_hosts,
         urls_per_host=urls,
         seed_hosts=n_hosts,
         with_images=True,
-        # realistic-ish payload weight: decode+validate ~2 ms/image — real
-        # crawl payloads are far heavier than thumbnail-sized test images,
-        # and per-row compute is what a 1000-executor cluster scales
-        image_size=(96, 64),
+        # realistic-ish payload weight: decode+validate a ~112×80 image per
+        # URL — real crawl payloads are far HEAVIER still (a typical web
+        # image is ≥100 KB vs these ~25 KB thumbnails), and per-row payload
+        # compute is exactly what a 1000-executor cluster scales
+        image_size=(iw, ih),
         # wide + deep rounds: the per-round driver-serialized latency is
         # core-count-invariant (~8 s/round), so the scaling measurement
         # needs rounds big enough (~200k URLs fetched/round) to amortize it
@@ -84,12 +87,83 @@ def bench_spec() -> CorpusSpec:
     )
 
 
-def materialize_corpus() -> dict[str, str]:
-    """Generate the deterministic bench corpus once (image payloads make
-    this ~1-2 min at default scale), write parquet with pyarrow, cache on
-    disk keyed by spec so repeated bench runs skip generation."""
+_OPTIONAL_COLS = ("body_html", "robots_body2", "switch_ms", "content_length",
+                  "robots_redirect_to")
+
+
+def _drop_all_null_optional(pdf):
+    # all-null OPTIONAL columns would be written as parquet NULL (void)
+    # type, which poisons Spark's type coercion downstream — drop them; the
+    # engine falls back gracefully when these columns are absent
+    drop = [c for c in _OPTIONAL_COLS if c in pdf.columns and pdf[c].isna().all()]
+    return pdf.drop(columns=drop) if drop else pdf
+
+
+def _write_parquet(pdf, path):
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # small row groups are load-bearing: a parquet ROW GROUP is the unit
+    # of split, and a single-row-group 700MB file serializes every scan
+    # into ONE task (observed: the whole payload-validation stage ran
+    # serial, inverting the core-scaling measurement)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        path + ".tmp",
+        row_group_size=4096,
+    )
+    os.replace(path + ".tmp", path)
+
+
+def _corpus_arrow_schema(spec: CorpusSpec):
+    """ONE explicit schema for every corpus shard: per-shard pandas
+    inference would type an all-null column (redirect_to on a shard with
+    no redirects, …) as parquet NULL and break the multi-file read."""
+    import pyarrow as pa
+
+    fields = [
+        ("url", pa.string()), ("image_id", pa.string()),
+        ("bytes", pa.binary()), ("content_length", pa.int64()),
+        ("w", pa.int64()), ("h", pa.int64()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("status_code", pa.int64()), ("content_type", pa.string()),
+        ("redirect_to", pa.string()), ("x_robots_tag", pa.string()),
+        ("meta_robots", pa.string()), ("out_links", pa.list_(pa.string())),
+        ("body_html", pa.binary()),
+    ]
+    drops = set()
+    if not spec.html_bodies:
+        drops.add("body_html")
+    if not spec.with_images:
+        drops.update(("bytes", "content_length"))
+    return pa.schema([(n, t) for n, t in fields if n not in drops])
+
+
+def _gen_corpus_chunk(args) -> str:
+    """Worker: generate one host-shard of corpus rows and write it as one
+    part file (rows are a pure function of (spec, host idx), so sharded
+    generation is byte-identical to a single pass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec, hosts, out = args
+    schema = _corpus_arrow_schema(spec)
+    pdf = gen_corpus(spec, only_hosts=set(hosts))["corpus"]
+    pdf = pdf[[f.name for f in schema]]
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    pq.write_table(table, out + ".tmp", row_group_size=4096)
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def materialize_corpus() -> dict[str, str]:
+    """Generate the deterministic bench corpus once, write parquet, cache
+    on disk keyed by spec so repeated bench runs skip generation.  Image
+    encoding dominates generation cost, so corpus rows are generated
+    host-sharded across a process pool (~workers× faster); the corpus
+    "file" is a directory of per-shard part files (Spark reads it as one
+    table)."""
+    from concurrent.futures import ProcessPoolExecutor
 
     spec = bench_spec()
     cache_root = os.environ.get(
@@ -102,29 +176,40 @@ def materialize_corpus() -> dict[str, str]:
     )
     d = os.path.join(cache_root, key)
     paths = {n: os.path.join(d, f"{n}.parquet") for n in ("corpus", "robots", "seeds")}
-    if all(os.path.exists(p) for p in paths.values()):
+    done_marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(done_marker) or all(
+        os.path.isfile(p) for p in paths.values()  # legacy single-file cache
+    ):
         return paths
     os.makedirs(d, exist_ok=True)
-    tables = gen_corpus(spec)
-    # all-null OPTIONAL columns would be written as parquet NULL (void)
-    # type, which poisons Spark's type coercion downstream — drop them; the
-    # engine falls back gracefully when these columns are absent
-    optional = ("body_html", "robots_body2", "switch_ms", "content_length")
-    for name, pdf in list(tables.items()):
-        drop = [c for c in optional if c in pdf.columns and pdf[c].isna().all()]
-        if drop:
-            tables[name] = pdf.drop(columns=drop)
-    for name, pdf in tables.items():
-        # small row groups are load-bearing: a parquet ROW GROUP is the unit
-        # of split, and a single-row-group 700MB file serializes every scan
-        # into ONE task (observed: the whole payload-validation stage ran
-        # serial, inverting the core-scaling measurement)
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            paths[name] + ".tmp",
-            row_group_size=4096,
-        )
-        os.replace(paths[name] + ".tmp", paths[name])
+    # robots + seeds (tiny) from a corpus-row-free pass
+    small = gen_corpus(spec, only_hosts=set())
+    _write_parquet(_drop_all_null_optional(small["robots"]), paths["robots"])
+    _write_parquet(_drop_all_null_optional(small["seeds"]), paths["seeds"])
+    # corpus rows: host-sharded across a process pool into part files
+    workers = min(max((os.cpu_count() or 8) - 4, 1), 24)
+    n_chunks = min(max(spec.n_hosts, 1), workers * 4)
+    chunks = [
+        list(range(spec.n_hosts))[i::n_chunks] for i in range(n_chunks)
+    ]
+    cdir = paths["corpus"]
+    if os.path.isdir(cdir):
+        import shutil as _sh
+
+        _sh.rmtree(cdir)
+    elif os.path.exists(cdir):
+        os.unlink(cdir)  # pre-sharding single-file layout
+    os.makedirs(cdir, exist_ok=True)
+    jobs = [
+        (spec, hosts, os.path.join(cdir, f"part-{i:04d}.parquet"))
+        for i, hosts in enumerate(chunks)
+        if hosts
+    ]
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        for _ in ex.map(_gen_corpus_chunk, jobs):
+            pass
+    with open(done_marker, "w") as f:
+        f.write(key)
     return paths
 
 
@@ -144,6 +229,14 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
             collect_metrics=False, use_bloom=True,
             bloom_capacity=1 << 22, n_salts=0,
             validate_payloads=True,
+            # None → adaptive bucket count (compaction-time resize); the
+            # ABWCF_BENCH_BUCKETS override exists to measure fixed bucket
+            # counts (e.g. 1024 — see BASELINE.md: over-bucketing a small
+            # table costs tiny-file overhead, which the adaptive rule avoids)
+            frontier_buckets=(
+                int(os.environ["ABWCF_BENCH_BUCKETS"])
+                if os.environ.get("ABWCF_BENCH_BUCKETS") else None
+            ),
         )
         t0 = time.time()
         res = crawler.run(seeds=seeds)
@@ -259,10 +352,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # the scaling pair runs BELOW the machine's background load (this box
-    # shows a persistent ~9 load average with no visible process — an
-    # artifact of the shared VM), so N=4 → 4N=16 measures core scaling
-    # rather than contention with invisible neighbors
-    scale_lo = max(cpus_hi // 8, 2)
+    # shows a persistent and VARIABLE ~2-9 load average with no visible
+    # process — an artifact of the shared VM), so N=2 → 4N=8 measures core
+    # scaling rather than contention with invisible neighbors; N=2 also
+    # best matches the north rule's per-EXECUTOR scaling (an executor is a
+    # few cores, and per-round driver latency is amortized identically at
+    # any core count).  cores_lo/cores_hi are recorded in the output.
+    scale_lo = max(cpus_hi // 16, 2)
     scale_hi = scale_lo * 4
 
     paths = materialize_corpus()

@@ -199,3 +199,16 @@ def test_step_never_collects_row_data():
     assert ".collect()" not in src, [
         ln.strip() for ln in src.splitlines() if ".collect()" in ln
     ]
+
+
+def test_adaptive_bucket_count_rule():
+    """Documented sizing rule: ~2M rows per bucket, power of two, clamped
+    [32, 65536]; 10^10-row design point → 8192 buckets."""
+    from abwcf_spark.engine.crawler import adaptive_bucket_count
+
+    assert adaptive_bucket_count(1_000) == 32
+    assert adaptive_bucket_count(60_000_000) == 32
+    assert adaptive_bucket_count(100_000_000) == 64
+    assert adaptive_bucket_count(2_000_000_000) == 1024
+    assert adaptive_bucket_count(10_000_000_000) == 8192
+    assert adaptive_bucket_count(1_000_000_000_000) == 65536
