@@ -20,6 +20,8 @@ Env knobs:
   ABWCF_BENCH_HOSTS    bench corpus hosts        (default 512)
   ABWCF_BENCH_URLS     bench corpus urls/host    (default 2000)
   ABWCF_BENCH_FANOUT   link-tree fanout          (default 48)
+  ABWCF_BENCH_IMG      image payload size WxH    (default 112x80)
+  ABWCF_BENCH_BUCKETS  fixed frontier bucket count (default: adaptive)
   ABWCF_BENCH_CACHE    corpus cache dir          (default <repo>/.bench-cache)
   ABWCF_SERIAL_COMMIT  disable concurrent round-commit jobs (lap profiling)
 """
