@@ -44,6 +44,11 @@ SF001 = "/root/testdata/sf0.01"
 MINHASH_PERMS = 8
 MINHASH_BANDS = 4
 MINHASH_BUCKET_CAP = 50       # drop degenerate hot buckets (boilerplate docs)
+NGJ_N = 4                     # char n-gram length
+NGJ_PERMS = 8
+NGJ_BANDS = 4
+NGJ_BUCKET_CAP = 50
+NGJ_THRESHOLD_MILLI = 500     # near-dup gate on exact char-gram Jaccard
 ANN_PLANES = 8
 ANN_TOPK = 20
 ANN_BATCH_QUERIES = 20
@@ -163,6 +168,44 @@ def build_minhash() -> pd.DataFrame:
         inter = len(sh[a] & sh[b])
         union = len(sh[a] | sh[b])
         rows.append((a, b, (1000 * inter) // union))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_milli"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard_milli": "int64"}
+    )
+
+
+def char_ngram_set(text: str, n: int = NGJ_N) -> set[str]:
+    return {text[i:i + n] for i in range(len(text) - n + 1)}
+
+
+def build_ngram_jaccard() -> pd.DataFrame:
+    """Mirror of queries.ngram_jaccard_pairs: char-4-gram MinHash LSH
+    buckets with a size cap, candidate pairs, exact char-gram Jaccard,
+    threshold filter (independent pure-python implementation)."""
+    docs = _read_sf001("documents")
+    g = {int(d): char_ngram_set(t) for d, t in zip(docs.doc_id, docs.text)}
+    sigs = {
+        d: [min(xxhash64_str(f"q{i}|{s}") for s in ss) for i in range(NGJ_PERMS)]
+        for d, ss in g.items() if ss
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    rpb = NGJ_PERMS // NGJ_BANDS
+    for d, m in sorted(sigs.items()):
+        for b in range(NGJ_BANDS):
+            key_str = "|".join([str(b)] + [str(m[rpb * b + r]) for r in range(rpb)])
+            buckets.setdefault((b, xxhash64_str(key_str)), []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= NGJ_BUCKET_CAP:
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    pairs.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        inter = len(g[a] & g[b])
+        union = len(g[a] | g[b])
+        jm = (1000 * inter) // union
+        if jm >= NGJ_THRESHOLD_MILLI:
+            rows.append((a, b, jm))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_milli"]).astype(
         {"doc_a": "int64", "doc_b": "int64", "jaccard_milli": "int64"}
     )
@@ -612,6 +655,7 @@ def build_metrics_table() -> pd.DataFrame:
 
 
 BUILDERS["o20_metrics_table"] = build_metrics_table
+BUILDERS["ngram_jaccard_pairs"] = build_ngram_jaccard
 
 
 if __name__ == "__main__":

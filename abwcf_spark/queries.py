@@ -471,47 +471,44 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def minhash_lsh_candidates(spark, sf_dir):
-    """Near-duplicate pairs via MinHash + LSH banding + exact-Jaccard
-    confirm — entirely Catalyst built-ins:
+def _lsh_jaccard_pairs(
+    shingles: DataFrame, perms: int, bands: int, cap: int, salt: str
+) -> DataFrame:
+    """Shared banded-MinHash candidate generation + exact-Jaccard confirm
+    over a (doc_id, shingle) set — entirely Catalyst built-ins:
 
-    shingle (per-row 3-gram transform, no window) → 8 minhashes (xxhash64
-    with per-permutation salt, min per doc) → 4 bands × 2 rows → band-bucket
-    self-join → distinct (a < b) pairs → exact-Jaccard confirm over the
-    candidate pairs (integer milli-Jaccard, no float reductions).
+    shingle set → ``perms`` minhashes (xxhash64 with per-permutation salt,
+    min per doc) → ``bands`` × (perms/bands) rows → band-bucket self-join →
+    distinct (a < b) pairs → exact-Jaccard confirm over the candidate pairs
+    (integer milli-Jaccard, no float reductions).
 
     100-TB shape: the band-bucket join replaces the all-pairs product; hot
     buckets (empty/boilerplate docs all hashing together) are CAPPED at
-    MINHASH_BUCKET_CAP members and dropped above it, bounding any bucket's
-    quadratic blowup.  The Jaccard confirm touches only candidate pairs
-    (broadcast into the shingle scan), never the full corpus.
-
-    Oracle: constructed fixture — same algorithm run by an independent
-    pure-python mirror (oracle_fixtures.build_minhash) on sf0.01, using the
-    spec-implemented XXH64 that is bit-verified against F.xxhash64.
-    """
-    from .oracle_fixtures import MINHASH_BANDS, MINHASH_BUCKET_CAP, MINHASH_PERMS
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingles = _doc_shingles(docs)
+    ``cap`` members and dropped above it, bounding any bucket's quadratic
+    blowup.  The Jaccard confirm touches only candidate pairs (broadcast
+    into the shingle scan), never the full corpus."""
+    rows_per_band = perms // bands
     hashes = shingles.select(
         "doc_id",
         *[
-            F.xxhash64(F.concat(F.lit(f"p{i}|"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(MINHASH_PERMS)
+            F.xxhash64(F.concat(F.lit(f"{salt}{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(perms)
         ],
     )
     sig = hashes.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_PERMS)]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(perms)]
     )
     band_structs = [
         F.struct(
             F.lit(b).alias("b"),
             F.xxhash64(
-                F.concat_ws("|", F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                F.concat_ws(
+                    "|", F.lit(b),
+                    *[F.col(f"m{rows_per_band * b + r}") for r in range(rows_per_band)],
+                )
             ).alias("bucket"),
         )
-        for b in range(MINHASH_BANDS)
+        for b in range(bands)
     ]
     melted = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
@@ -519,7 +516,7 @@ def minhash_lsh_candidates(spark, sf_dir):
     ok_buckets = (
         melted.groupBy("b", "bucket")
         .agg(F.count(F.lit(1)).alias("ct"))
-        .where((F.col("ct") >= 2) & (F.col("ct") <= MINHASH_BUCKET_CAP))
+        .where((F.col("ct") >= 2) & (F.col("ct") <= cap))
         .select("b", "bucket")
     )
     capped = melted.join(ok_buckets, ["b", "bucket"])
@@ -571,7 +568,63 @@ def minhash_lsh_candidates(spark, sf_dir):
     )
 
 
+def minhash_lsh_candidates(spark, sf_dir):
+    """Near-duplicate pairs via word-3-gram MinHash + LSH banding +
+    exact-Jaccard confirm (shared skeleton: ``_lsh_jaccard_pairs``).
+
+    Oracle: constructed fixture — same algorithm run by an independent
+    pure-python mirror (oracle_fixtures.build_minhash) on sf0.01, using the
+    spec-implemented XXH64 that is bit-verified against F.xxhash64.
+    """
+    from .oracle_fixtures import MINHASH_BANDS, MINHASH_BUCKET_CAP, MINHASH_PERMS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lsh_jaccard_pairs(
+        _doc_shingles(docs), MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
+    )
+
+
 QUERIES["minhash_lsh_candidates"] = minhash_lsh_candidates
+
+
+def _doc_char_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle): distinct CHARACTER n-grams — per-row substring
+    transform, no shuffle before the distinct (Column.substr accepts
+    Column positions, so the gram window slides inside one expression)."""
+    d = docs.select("doc_id", "text")
+    ln = F.length("text")
+    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(n)))
+    return d.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Char-n-gram Jaccard near-duplicate pairs: the deduplication modality
+    that catches what WORD tokenization misses (in-word edits, punctuation
+    and whitespace churn, markup noise) — character 4-gram shingles through
+    the same banded-LSH + bucket-cap + exact-confirm skeleton as the word
+    MinHash, keeping only pairs at exact char-gram Jaccard ≥ threshold.
+
+    Oracle: constructed fixture — independent pure-python mirror
+    (oracle_fixtures.build_ngram_jaccard) on sf0.01.
+    """
+    from .oracle_fixtures import (
+        NGJ_BANDS,
+        NGJ_BUCKET_CAP,
+        NGJ_N,
+        NGJ_PERMS,
+        NGJ_THRESHOLD_MILLI,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lsh_jaccard_pairs(
+        _doc_char_ngrams(docs, NGJ_N), NGJ_PERMS, NGJ_BANDS, NGJ_BUCKET_CAP, "q"
+    ).where(F.col("jaccard_milli") >= NGJ_THRESHOLD_MILLI)
+
+
+QUERIES["ngram_jaccard_pairs"] = ngram_jaccard_pairs
 
 
 def embedding_cosine_topk(spark, sf_dir):
@@ -747,6 +800,7 @@ for _name in (
     "embedding_ann_lsh",
     "crawl_t1_micro",
     "o20_metrics_table",
+    "ngram_jaccard_pairs",
 ):
     ORACLE[_name] = _fx(_name)
 
