@@ -125,6 +125,12 @@ def metrics_stage_rows(m: dict) -> list[dict]:
     nu = m.get("new_urls")
     if n is not None and nu is not None:
         add("url_seen", nu, n - nu)
+    # bloom probe hit/miss (CacheMetrics.scala:53-69 analogue): passed =
+    # negatives (provably new, skipped the exact confirm), rejected =
+    # positives (true repeats + false positives, fell through to confirm)
+    bp, bpos = m.get("bloom_probed"), m.get("bloom_pos")
+    if bp is not None and bpos is not None:
+        add("cache_bloom_probe", bp - bpos, bpos)
     lp = m.get("lenient_passed")
     if nu is not None and lp is not None:
         add("lenient_robots", lp, nu - lp)
@@ -135,6 +141,10 @@ def metrics_stage_rows(m: dict) -> list[dict]:
             m.get("disallowed", 0), "t_insert")
     add("fetch", m.get("fetched"), 0, "t_select")
     add("emit", m.get("emitted"), 0, "t_commit")
+    # entity-count gauges (value in `passed`, rejected 0):
+    # ClusterNodeMetricsCollector.scala entity counts / CacheMetrics sizes
+    add("gauge_hosts_rows", m.get("hosts_rows"))
+    add("gauge_frontier_rows", m.get("frontier_rows"))
     return rows
 
 
@@ -148,12 +158,16 @@ def _default_payload_consumer(cfg: CrawlConfig):
 
         # size gate = the SAME expression the emit gate uses, so a page can
         # never pass one gate and fail the other (link expansion and payload
-        # accounting stay in lockstep); truncation is caught by the decode
+        # accounting stay in lockstep); truncation is caught by the decode.
+        # NULL-length rows mirror the emit gate's `isNotNull & > max` shape
+        # (NULL → NOT too big): a corpus with bytes but no content_length
+        # must not silently skip validation while still emitting links.
+        body_len = body_length_col(fetched)
         return (
             fetched.where(
                 (F.col("status_code") == 200)
                 & F.col("bytes").isNotNull()
-                & (body_length_col(fetched) <= F.lit(cfg.max_content_length))
+                & (body_len.isNull() | (body_len <= F.lit(cfg.max_content_length)))
             )
             .select("url", "bytes", "image_id", "w", "h", "fmt", "caption", "phash")
             .mapInPandas(validate_payload_batches, PAYLOAD_CHECK_SCHEMA)
@@ -223,16 +237,26 @@ class SparkCrawler:
         self.spark = spark
         self.cfg = cfg
         self.corpus = corpus
-        from ..operators.round_ops import resolve_robots_redirects
-
-        # robots.txt redirect chains resolve ONCE here (≤5 hops, RFC 9309 /
-        # RobotsFetcher.scala:99-110); per-round refreshes join the
-        # effective records
-        self.robots_corpus = resolve_robots_redirects(robots_corpus)
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = checkpoint_interval
         self.use_bloom = use_bloom
         self.work_dir = checkpoint_dir or tempfile.mkdtemp(prefix="abwcf-rounds-")
+        from ..operators.round_ops import resolve_robots_redirects
+
+        # robots.txt redirect chains resolve ONCE here (≤5 hops, RFC 9309 /
+        # RobotsFetcher.scala:99-110); per-round refreshes join the
+        # effective records.  The resolution is 5 chained broadcast
+        # self-joins over the hosts-scale corpus — MATERIALIZED once via a
+        # parquet round-trip (not localCheckpoint: real file stats keep
+        # Catalyst's size estimates sane across rounds) so the per-round
+        # robots_refresh job never re-executes the chain.
+        resolved = resolve_robots_redirects(robots_corpus)
+        if resolved is not robots_corpus:
+            rdir = os.path.join(self.work_dir, "robots_resolved")
+            if not os.path.isdir(rdir):  # resume: reuse the existing copy
+                resolved.write.parquet(rdir)
+            resolved = spark.read.parquet(rdir)
+        self.robots_corpus = resolved
         # executor-side sharded bloom (kernels/bloom_shards.py): the driver
         # holds only the O(K) shard-version map; bit arrays live as versioned
         # files next to the frontier snapshots and are read/written by tasks
@@ -282,7 +306,19 @@ class SparkCrawler:
         self._adaptive_buckets = frontier_buckets is None
         self.n_buckets = 32 if frontier_buckets is None else max(int(frontier_buckets), 1)
         self.compact_after = 8
-        self.chain_base: str | None = None
+        # compaction policy (per-bucket selective, Iceberg/LSM-style):
+        # a compaction pass MAJOR-compacts (reconciled rewrite) only buckets
+        # whose live delta bytes exceed major_frac of their base bytes, and
+        # MINOR-consolidates every other bucket's delta rows into one
+        # consolidated delta pair (O(live delta rows) — base untouched);
+        # a full major (all buckets, adaptive re-bucket) is forced when the
+        # partial-base generation list reaches max_bases
+        self.major_frac = 0.25
+        self.max_bases = 4
+        # base GENERATIONS, oldest→newest; each holds a subset of buckets
+        # (newest dir containing bucket=b wins for b — per-bucket epochs are
+        # derived from the round-numbered paths, never stored separately)
+        self.chain_base: list[str] = []
         self.chain_ins: list[str] = []
         self.chain_upd: list[str] = []
         self.upd_rows = 0          # rows across chain_upd (gates broadcast)
@@ -318,7 +354,10 @@ class SparkCrawler:
             fut.cancel()
             try:
                 fut.result()  # join if already running (bounded job)
-            except Exception:
+            except BaseException:
+                # CancelledError subclasses BaseException (py3.8+): a
+                # successfully-cancelled pending future must not mask the
+                # original error on the failed-step path, nor fail close()
                 pass
 
     def __enter__(self) -> "SparkCrawler":
@@ -457,13 +496,21 @@ class SparkCrawler:
         # URL-seen membership needs only the insert-side chain (_data):
         # update deltas never introduce urls, so the MoR reconcile anti-join
         # is skipped entirely on this hot path
+        bloom_obs = None
+        if probe is not None and self.collect_metrics:
+            bloom_obs = Observation(f"bloom-r{rnd}")
         cand = url_seen_filter(
             cand, self._data, probe,
             est_candidates=est, broadcast_limit=self.seen_broadcast_limit,
+            flag_observation=bloom_obs,
         )
         if self.collect_metrics:
             cand = self._mat(cand)
             m["new_urls"] = cand.count()
+            if bloom_obs is not None:
+                g = bloom_obs.get
+                m["bloom_probed"] = int(g["n"])
+                m["bloom_pos"] = int(g["pos"] or 0)
 
         # O7 lenient robots (fail-open, hosts as of round start)
         cand = with_host(cand)
@@ -662,6 +709,13 @@ class SparkCrawler:
         )
         m.update(getattr(self, "_commit_laps", {}))
         m["emitted"] = n_emitted
+        if self.collect_metrics:
+            # entity-count gauges (CacheMetrics.scala:53-69 /
+            # ClusterNodeMetricsCollector.scala analogues) — all driver-known
+            # or riding the hosts commit Observation, zero extra jobs
+            if getattr(self, "_last_hosts_rows", None) is not None:
+                m["hosts_rows"] = self._last_hosts_rows
+            m["frontier_rows"] = self.frontier_rows
         if bloom_future is not None:
             m["inserted"] = bloom_future.result()
             self._bloom_future = None
@@ -760,7 +814,11 @@ class SparkCrawler:
         emit_obs = Observation(f"emitted-r{self.rnd}")
         candidates = candidates.observe(emit_obs, F.count(F.lit(1)).alias("n"))
         hosts_obs = Observation(f"hosts-r{self.rnd}")
-        hosts = hosts.observe(hosts_obs, F.min("valid_until").alias("mv"))
+        hosts = hosts.observe(
+            hosts_obs,
+            F.min("valid_until").alias("mv"),
+            F.count(F.lit(1)).alias("n"),
+        )
         jobs = [
             ("ins", lambda: self._write_delta(new_rows, ins_dir, self._parts)),
             ("upd", lambda: self._write_delta(upd_delta, upd_dir, self._parts)),
@@ -799,52 +857,202 @@ class SparkCrawler:
         # row never materializes), and the count is already in hand anyway
         self.upd_rows += int(n_upd)
         try:
-            mv = hosts_obs.get["mv"]
+            g = hosts_obs.get
+            mv = g["mv"]
             self._hosts_min_valid = int(mv) if mv is not None else None
+            self._last_hosts_rows = int(g["n"])
         except Exception:
             self._hosts_min_valid = None  # conservative: assume expirable
+            self._last_hosts_rows = None
         self._maybe_compact(d)
         self._reload_from(d)
         self._prune()
         return int(emit_obs.get["n"])
 
+    # ------------------------------------------------- chain layout (driver)
+    @staticmethod
+    def _dir_round(path: str) -> int:
+        """Round number encoded in a chain dir path (.../round=NNNNNN/fr_*).
+        Path-derived epochs make the FS layout + chain lists the complete
+        manifest — no separate per-bucket epoch state to keep consistent."""
+        return int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
+
+    @staticmethod
+    def _bucket_dirs(path: str) -> dict[int, str]:
+        return {
+            int(e.split("=", 1)[1]): os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.startswith("bucket=")
+        }
+
+    def _scan_chain_layout(self):
+        """Driver-local walk of the chain dirs → per-bucket live leaf paths
+        (the MoR read plan, Iceberg-manifest style).  A bucket's base is the
+        NEWEST base generation containing it; a delta leaf is live iff its
+        round is newer than that base's round (a base written at round k
+        reconciled every delta of rounds ≤ k for its buckets).
+
+        Returns (base_sel, data_by_b, upd_by_b): base_sel maps bucket →
+        (absorbed_round, base leaf dir); data/upd map bucket → ordered live
+        delta leaf dirs."""
+        base_sel: dict[int, tuple[int, str]] = {}
+        for bdir in self.chain_base:  # oldest → newest: later wins
+            r = self._dir_round(bdir)
+            for b, leaf in self._bucket_dirs(bdir).items():
+                prev = base_sel.get(b)
+                if prev is None or r >= prev[0]:
+                    base_sel[b] = (r, leaf)
+        data_by_b: dict[int, list[str]] = {}
+        upd_by_b: dict[int, list[str]] = {}
+        for chain, by_b in ((self.chain_ins, data_by_b), (self.chain_upd, upd_by_b)):
+            for d in chain:
+                r = self._dir_round(d)
+                for b, leaf in self._bucket_dirs(d).items():
+                    if r > base_sel.get(b, (-1, ""))[0]:
+                        by_b.setdefault(b, []).append(leaf)
+        return base_sel, data_by_b, upd_by_b
+
+    @staticmethod
+    def _leaf_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith("_") and not f.endswith(".crc")
+        )
+
+    @staticmethod
+    def _leaf_rows(paths: list[str]) -> int:
+        """Exact row count from parquet footers (driver-local metadata read
+        — the analogue of an Iceberg manifest's per-file record counts)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for p in paths:
+            for root, _, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+        return total
+
+    def _read_leaves(self, paths: list[str]) -> DataFrame:
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths)
+            .select(*FRONTIER_COLS)
+        )
+
     def _maybe_compact(self, d: str) -> None:
-        """Compact the delta chains into a fresh reconciled base when either
-        chain exceeds ``compact_after`` files.  Bucket count re-adapts here
-        (sizing rule: K ≈ frontier_rows / 2M target rows per bucket, power
-        of two, clamped to [32, 65536]) unless pinned by ``frontier_buckets``
-        — bucket identity only needs to be stable within one chain epoch, so
-        compaction is the natural re-bucketing point."""
+        """Per-bucket selective compaction of the delta chains, triggered
+        when either chain exceeds ``compact_after`` files or the update
+        chain outgrows the reconcile broadcast.
+
+        One pass consumes the ENTIRE chain, per bucket either way:
+
+        - MAJOR (reconciled rewrite into a new base generation): buckets
+          whose live delta bytes ≥ ``major_frac`` × base bytes (or with no
+          base yet) — rewrite IO proportional to THOSE buckets only, read
+          via per-bucket leaf paths (true file pruning, no full-table scan);
+        - MINOR (LSM-style consolidation): every other bucket's live delta
+          rows rewritten verbatim into one consolidated delta pair —
+          O(live delta rows), the base is NOT touched.
+
+        A FULL major (all buckets) is forced when ``upd_rows`` exceeds
+        ``seen_broadcast_limit`` (past it the read-side reconcile would
+        degrade to an O(frontier) shuffle every round — reference analogue:
+        row-level UPDATE never pays a table scan,
+        SlickPageRepository.scala:39) or when ``max_bases`` partial base
+        generations have accumulated; only a full major re-adapts the bucket
+        count (K ≈ frontier_rows/2M, power of two, clamped [32, 65536]) —
+        bucket identity must stay stable while partial bases exist."""
+        need_full = self.upd_rows > self.seen_broadcast_limit
         if (
             len(self.chain_ins) <= self.compact_after
             and len(self.chain_upd) <= self.compact_after
+            and not need_full
         ):
             return
         import time as _time
 
         _t = _time.time()
-        if self._adaptive_buckets and self.frontier_rows > 0:
+        base_sel, data_by_b, upd_by_b = self._scan_chain_layout()
+        live_buckets = set(data_by_b) | set(upd_by_b)
+        if not live_buckets and not need_full:
+            return
+        if need_full or len(self.chain_base) + 1 >= self.max_bases:
+            major = live_buckets | set(base_sel)
+        else:
+            # row-count criterion from parquet footers (bytes would be
+            # distorted by fixed per-file overhead on small buckets; rows
+            # are proportional to rewrite cost at every scale)
+            major = {
+                b
+                for b in live_buckets
+                if base_sel.get(b) is None
+                or self._leaf_rows(data_by_b.get(b, []) + upd_by_b.get(b, []))
+                >= self.major_frac * self._leaf_rows([base_sel[b][1]])
+            }
+        full = major >= (live_buckets | set(base_sel))
+        if full and self._adaptive_buckets and self.frontier_rows > 0:
             self.n_buckets = adaptive_bucket_count(self.frontier_rows)
-        self._reload_frontier()  # chain views for the reconcile read
-        base_dir = os.path.join(d, "fr_base")
-        self._write_delta(self._reconciled_frontier(), base_dir, self._parts)
-        if not any(e.startswith("bucket=") for e in os.listdir(base_dir)):
-            return  # empty table: nothing to reference, keep chains as-is
-        self.chain_base = base_dir
-        self.chain_ins = []
-        self.chain_upd = []
-        self.upd_rows = 0
+        minor = live_buckets - major
+
+        new_chain_base = list(self.chain_base)
+        if major:
+            # reconciled rewrite of ONLY the major buckets: per-bucket leaf
+            # reads (file-pruned), update side broadcast-gated by its exact
+            # footer row count
+            data_paths = [base_sel[b][1] for b in major if b in base_sel]
+            data_paths += [p for b in major for p in data_by_b.get(b, [])]
+            upd_paths = [p for b in major for p in upd_by_b.get(b, [])]
+            rec = self._read_leaves(data_paths) if data_paths else None
+            if rec is not None and upd_paths:
+                upd = self._read_leaves(upd_paths)
+                u = upd.select("url")
+                if self._leaf_rows(upd_paths) <= self.seen_broadcast_limit:
+                    u = F.broadcast(u)
+                rec = rec.join(u, "url", "left_anti").unionByName(upd)
+            base_dir = os.path.join(d, "fr_base")
+            if rec is not None:
+                self._write_delta(rec, base_dir, self._parts)
+            if os.path.isdir(base_dir) and self._bucket_dirs(base_dir):
+                new_chain_base = ([] if full else new_chain_base) + [base_dir]
+            elif full:
+                # empty table after a forced full major: nothing to
+                # reference, keep the chains as-is
+                self._commit_laps["t_commit_compact"] = round(
+                    _time.time() - _t, 3
+                )
+                return
+        new_ins: list[str] = []
+        new_upd: list[str] = []
+        if minor:
+            # consolidate the cold buckets' live deltas verbatim (no
+            # reconcile — they stay deltas, just in one file per bucket)
+            for by_b, sub, chain in (
+                (data_by_b, "fr_cins", new_ins),
+                (upd_by_b, "fr_cupd", new_upd),
+            ):
+                paths = [p for b in minor for p in by_b.get(b, [])]
+                if not paths:
+                    continue
+                out = os.path.join(d, sub)
+                self._write_delta(self._read_leaves(paths), out, self._parts)
+                if os.path.isdir(out) and self._bucket_dirs(out):
+                    chain.append(out)
+        self.chain_base = new_chain_base
+        self.chain_ins = new_ins
+        self.chain_upd = new_upd
+        self.upd_rows = self._leaf_rows(new_upd)
         self._commit_laps["t_commit_compact"] = round(_time.time() - _t, 3)
 
     def _referenced_round_dirs(self) -> set[str]:
         """round=N dir names still needed: current chain + whatever the
         newest manifest references (crash before the next manifest must be
         able to resume from the previous one)."""
-        paths = (
-            ([self.chain_base] if self.chain_base else [])
-            + self.chain_ins
-            + self.chain_upd
-        )
+        paths = list(self.chain_base) + self.chain_ins + self.chain_upd
         refs = {os.path.basename(os.path.dirname(p)) for p in paths}
         return refs | self._manifest_keep
 
@@ -896,10 +1104,10 @@ class SparkCrawler:
             # driver-known update-row count that gates the reconcile
             # broadcast on resume
             frontier_chain=dict(
-                base=(
-                    os.path.relpath(self.chain_base, self.work_dir)
-                    if self.chain_base else None
-                ),
+                # base GENERATIONS oldest→newest (newest dir containing a
+                # bucket wins for that bucket — partial bases from selective
+                # compaction); legacy round-3 manifests stored a single str
+                base=[os.path.relpath(p, self.work_dir) for p in self.chain_base],
                 ins=[os.path.relpath(p, self.work_dir) for p in self.chain_ins],
                 upd=[os.path.relpath(p, self.work_dir) for p in self.chain_upd],
                 upd_rows=self.upd_rows,
@@ -931,7 +1139,13 @@ class SparkCrawler:
         """Rebuild the chain read views: multi-path parquet scans (pure
         scans → true size stats, column pruning and predicate pushdown reach
         the files; the dropped ``bucket`` partition column never enters the
-        round plans) + the lazily reconciled public ``frontier`` view."""
+        round plans) + the lazily reconciled public ``frontier`` view.
+
+        Every chain leaf is live by construction (a compaction pass consumes
+        the whole chain: later delta dirs are strictly newer than every base
+        generation, and consolidated dirs exclude the buckets that pass
+        major-compacted) — only base generations need per-bucket
+        newest-wins selection when partial bases exist."""
         # recursiveFileLookup: the bucket= dirs are a write-side layout
         # (file sizing + selective-compaction handle), not a read-side
         # partition column — skipping partition inference also sidesteps
@@ -943,7 +1157,18 @@ class SparkCrawler:
                 .select(*FRONTIER_COLS)
             )
 
-        data_paths = ([self.chain_base] if self.chain_base else []) + self.chain_ins
+        if len(self.chain_base) <= 1:
+            base_paths = list(self.chain_base)
+        else:
+            base_sel: dict[int, tuple[int, str]] = {}
+            for bdir in self.chain_base:  # oldest → newest: later wins
+                r = self._dir_round(bdir)
+                for b, leaf in self._bucket_dirs(bdir).items():
+                    prev = base_sel.get(b)
+                    if prev is None or r >= prev[0]:
+                        base_sel[b] = (r, leaf)
+            base_paths = [leaf for _, leaf in base_sel.values()]
+        data_paths = base_paths + self.chain_ins
         self._data = (
             _read(data_paths) if data_paths
             else self.spark.createDataFrame([], FRONTIER_SCHEMA)
@@ -976,9 +1201,10 @@ class SparkCrawler:
         self.metrics = list(manifest.get("metrics", []))
         self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
         ch = manifest.get("frontier_chain", {})
-        self.chain_base = (
-            os.path.join(self.work_dir, ch["base"]) if ch.get("base") else None
-        )
+        base = ch.get("base") or []
+        if isinstance(base, str):  # legacy single-base manifest (round ≤3)
+            base = [base]
+        self.chain_base = [os.path.join(self.work_dir, p) for p in base]
         self.chain_ins = [os.path.join(self.work_dir, p) for p in ch.get("ins", [])]
         self.chain_upd = [os.path.join(self.work_dir, p) for p in ch.get("upd", [])]
         self.upd_rows = int(ch.get("upd_rows", 0))

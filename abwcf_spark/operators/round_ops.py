@@ -75,6 +75,7 @@ def url_seen_filter(
     bloom_probe=None,
     est_candidates: int | None = None,
     broadcast_limit: int = 5_000_000,
+    flag_observation=None,
 ) -> DataFrame:
     """Drop candidates already in the frontier (exact dedup at PageManager
     identity, UrlDeduplicator.scala:13 / PageManager.scala:19).
@@ -102,6 +103,17 @@ def url_seen_filter(
         # the bloom path is the design point at frontier scale)
         return cand.join(seen_urls, "url", "left_anti")
     probed = cand.withColumn("_maybe", bloom_probe(F.xxhash64("url")))
+    if flag_observation is not None:
+        # probe hit/miss counters for the durable metrics table (O20 —
+        # CacheMetrics.scala:53-69 analogue): rides whatever job first
+        # executes this round's candidate plan (the observed node is NOT
+        # double-counted by the fresh/maybe self-union — Spark reuses the
+        # subtree, verified empirically)
+        probed = probed.observe(
+            flag_observation,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_maybe").cast("long")).alias("pos"),
+        )
     fresh = probed.where(~F.col("_maybe")).drop("_maybe")
     maybe = probed.where(F.col("_maybe")).drop("_maybe")
     if est_candidates is not None and est_candidates > broadcast_limit:
@@ -535,7 +547,14 @@ def fetch_and_emit(
 def merge_fetch_statuses(
     frontier: DataFrame, sel: DataFrame, rnd: int, disallow: DataFrame | None = None
 ) -> DataFrame:
-    """MERGE the round's fetch set into the frontier: Discovered→Processed +
+    """REFERENCE-ONLY copy-on-write merge kernel — NOT on the engine's
+    commit path since the merge-on-read rewrite (the round loop writes
+    per-(bucket, round) update deltas and reconciles lazily; see
+    SparkCrawler._commit_round/_reconciled_frontier, certified by the
+    o18_status_merge gate entry).  Kept as a public building block for
+    one-shot CoW merges over externally-managed frontier tables.
+
+    MERGE the round's fetch set into the frontier: Discovered→Processed +
     fetched_round + fetch_order (PageManager.scala:139 status update batch,
     FetchResultConsumer.scala:34-50 default consumer marks Processed).  The
     update side is one round's fetch set — broadcast against the big table.

@@ -763,9 +763,16 @@ def o20_metrics_table(spark, sf_dir):
     the t1-micro crawl and returns the table's deterministic columns.
 
     Oracle: constructed fixture — the pure-python ABWCF simulator's
-    per-round counts mapped through the same long-format shaping (the
-    COUNTS come from two independent engines: Spark Observations here,
-    the python simulator there).
+    per-round counts mapped through an INDEPENDENT long-format shaping
+    (the COUNTS and the shaping both come from the mirror side:
+    oracle_fixtures.build_metrics_table).
+
+    use_bloom=False here: the ``cache_bloom_probe`` stage's counts include
+    bloom false positives — a property of the engine's probabilistic
+    URL-seen store that the python simulator (exact by design) cannot
+    mirror without replaying the engine's own bloom kernel (which would be
+    a self-reference).  The bloom cache stage is exercised and
+    invariant-checked in tests/test_metrics_gauges.py instead.
     """
     from .engine.crawler import SparkCrawler
     from .testing.corpus import T1_MICRO, gen_corpus
@@ -776,7 +783,8 @@ def o20_metrics_table(spark, sf_dir):
     # no checkpoint_dir → work_dir is a fresh mkdtemp; the metrics table is
     # written there per round and read back lazily (files persist)
     crawler = SparkCrawler(
-        spark, sdfs["corpus"], sdfs["robots"], collect_metrics=True
+        spark, sdfs["corpus"], sdfs["robots"], collect_metrics=True,
+        use_bloom=False,
     )
     crawler.run(seeds=sdfs["seeds"])
     return crawler.metrics_table().select("round", "stage", "passed", "rejected")
@@ -1105,31 +1113,38 @@ def o17_ttl_refresh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# O18 — status MERGE shape (SlickPageRepository.scala:39 batched UPDATE,
-# Batcher.scala:37-61; engine: round_ops.merge_fetch_statuses): the round's
-# fetch set left-joined into the frontier, hit rows flipped to Processed
-# with fetched_round + fetch_order stamped.
+# O18 — status merge, MERGE-ON-READ reconcile shape (SlickPageRepository.
+# scala:39 batched row-level UPDATE, Batcher.scala:37-61; engine:
+# SparkCrawler._reconciled_frontier — the commit path the round loop actually
+# runs since the MoR rewrite): insert-time rows anti-joined against the
+# bounded update-url set (broadcast → the big side stays a SCAN), unioned
+# with the terminal update rows.  Latest-wins with ≤2 versions per key.
+# The legacy copy-on-write kernel (round_ops.merge_fetch_statuses) is kept
+# as a reference-only building block and is no longer what this entry
+# certifies.
 # ---------------------------------------------------------------------------
 @q(
     "o18_status_merge",
     """
-    SELECT f.o_orderkey,
-           CASE WHEN u.o_orderkey IS NOT NULL THEN 'Processed' ELSE f.status END AS status,
-           CAST(CASE WHEN u.o_orderkey IS NOT NULL THEN 3 ELSE -1 END AS INT) AS fetched_round,
-           CAST(coalesce(u._fo, -1) AS BIGINT) AS fetch_order
+    SELECT f.o_orderkey, f.status,
+           CAST(-1 AS INT) AS fetched_round,
+           CAST(-1 AS BIGINT) AS fetch_order
     FROM (
       SELECT o_orderkey, CASE o_orderstatus WHEN 'O' THEN 'Discovered'
              WHEN 'F' THEN 'Processed' ELSE 'Disallowed' END AS status
       FROM orders
     ) f
-    LEFT JOIN (
-      SELECT o_orderkey, o_orderkey * 10 AS _fo FROM orders WHERE o_orderkey % 7 = 0
-    ) u USING (o_orderkey)
+    WHERE f.o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+    UNION ALL
+    SELECT o_orderkey, 'Processed' AS status,
+           CAST(3 AS INT) AS fetched_round,
+           CAST(o_orderkey * 10 AS BIGINT) AS fetch_order
+    FROM orders WHERE o_orderkey % 7 = 0
     """,
 )
 def o18_status_merge(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
-    frontier = orders.select(
+    data = orders.select(
         "o_orderkey",
         F.when(F.col("o_orderstatus") == "O", "Discovered")
         .when(F.col("o_orderstatus") == "F", "Processed")
@@ -1137,14 +1152,19 @@ def o18_status_merge(spark, sf_dir):
         .alias("status"),
     )
     upd = orders.where(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey", (F.col("o_orderkey") * 10).alias("_fo")
-    )
-    hit = F.col("_fo").isNotNull()
-    return frontier.join(F.broadcast(upd), "o_orderkey", "left").select(
         "o_orderkey",
-        F.when(hit, F.lit("Processed")).otherwise(F.col("status")).alias("status"),
-        F.when(hit, F.lit(3)).otherwise(F.lit(-1)).cast("int").alias("fetched_round"),
-        F.coalesce(F.col("_fo"), F.lit(-1)).cast("long").alias("fetch_order"),
+        F.lit("Processed").alias("status"),
+        F.lit(3).cast("int").alias("fetched_round"),
+        (F.col("o_orderkey") * 10).cast("long").alias("fetch_order"),
+    )
+    return (
+        data.join(F.broadcast(upd.select("o_orderkey")), "o_orderkey", "left_anti")
+        .select(
+            "o_orderkey", "status",
+            F.lit(-1).cast("int").alias("fetched_round"),
+            F.lit(-1).cast("long").alias("fetch_order"),
+        )
+        .unionByName(upd)
     )
 
 
@@ -1210,11 +1230,17 @@ ORACLE["image_stats_extract"] = _fx("image_stats_extract")
 # ---------------------------------------------------------------------------
 # Embedding near-duplicate PAIRS (the pairwise dedup path, distinct from the
 # query-based ANN search): vectors sharing an 8-bit random-hyperplane
-# signature form candidate buckets; pairs inside a bucket (capped at
-# EMB_BUCKET_CAP against degenerate all-identical corpora) are confirmed by
-# exact cosine, emitted as integer floor-milli.  100-TB shape: a shuffled
-# self-join on the signature key — no all-pairs product; bucket counts bound
-# the quadratic term.  Oracle: constructed fixture
+# signature — or whose signatures differ by ONE bit (Hamming-1 multi-probe,
+# same expansion the single-query ANN uses; without it a near-dup pair that
+# straddles one hyperplane is invisible) — form candidate pairs, confirmed
+# by exact cosine, emitted as integer floor-milli.  The probe expansion
+# happens on ONE side of the self-join only (each pair still matches
+# exactly once: x reaches y only via the single probe equal to y's
+# signature, and the vec_a < vec_b filter keeps one orientation).
+# 100-TB shape: a shuffled self-join on the signature key — no all-pairs
+# product; the per-signature bucket cap (EMB_BUCKET_CAP, against degenerate
+# all-identical corpora) bounds the quadratic term at (1 + n_planes)·cap
+# candidates per row.  Oracle: constructed fixture
 # (oracle_fixtures.build_emb_near_dup) mirroring fold order.
 # ---------------------------------------------------------------------------
 def embedding_near_dup_pairs(spark, sf_dir):
@@ -1243,14 +1269,23 @@ def embedding_near_dup_pairs(spark, sf_dir):
         bit = F.when(dot(e, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     signed = emb.select("vec_id", "embedding", sig.cast("int").alias("sig"))
+    # multi-probe admits pairs from singleton buckets, so eligibility is
+    # only the upper cap (both endpoints must live in capped buckets)
     ok_sigs = (
         signed.groupBy("sig").agg(F.count(F.lit(1)).alias("ct"))
-        .where((F.col("ct") >= 2) & (F.col("ct") <= EMB_BUCKET_CAP))
+        .where(F.col("ct") <= EMB_BUCKET_CAP)
         .select("sig")
     )
     capped = signed.join(ok_sigs, "sig")
-    a = capped.select("sig", F.col("vec_id").alias("vec_a"),
-                      F.col("embedding").alias("emb_a"))
+    probes = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(ANN_PLANES)],
+    )
+    a = capped.select(
+        F.explode(probes).alias("sig"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
     b = capped.select("sig", F.col("vec_id").alias("vec_b"),
                       F.col("embedding").alias("emb_b"))
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (

@@ -336,6 +336,10 @@ def crawl_oracle(
                             )
             fetch_seq += 1
         m["emitted"] = len(emitted)
+        # end-of-round entity-count gauges (engine analogues: the hosts
+        # commit Observation and the driver's cumulative insert counter)
+        m["hosts_rows"] = len(hosts)
+        m["frontier_rows"] = len(frontier)
         metrics.append(m)
 
         candidates = emitted

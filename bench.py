@@ -14,13 +14,28 @@ decoded and validated (pixel check vs the regenerated reference, phash,
 caption) inside mapInPandas — the north-rule metric is fetch+dedup over
 the image+caption table, so payload work is part of the measured loop.
 
+Phase order is budget-aware (round-3 lesson: the driver-recorded bench
+timed out before the scaling pair ran): the north-rule scaling evidence
+(lo/mid crawls at N and 4N cores) runs FIRST; the datapath probes, the
+operator-query timings and the all-core headline crawl are optional tail
+phases, each skipped when the remaining ABWCF_BENCH_BUDGET_S cannot cover
+a conservative estimate — the ONE JSON line always prints with whatever
+completed.
+
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir for the operator queries (sf0.1)
   SPARK_GRAFT_CPUS     the 4N core count (default 32; N = cpus // 4)
-  ABWCF_BENCH_HOSTS    bench corpus hosts        (default 512)
-  ABWCF_BENCH_URLS     bench corpus urls/host    (default 2000)
-  ABWCF_BENCH_FANOUT   link-tree fanout          (default 48)
-  ABWCF_BENCH_IMG      image payload size WxH    (default 112x80)
+  ABWCF_BENCH_BUDGET_S total wall budget in seconds (default 1350)
+  ABWCF_BENCH_HOSTS    bench corpus hosts        (default 768)
+  ABWCF_BENCH_URLS     bench corpus urls/host    (default 1000)
+  ABWCF_BENCH_FANOUT   link-tree fanout          (default 200; wide+shallow
+                       → 4 rounds, amortizing the core-invariant ~7s/round
+                       driver term exactly like production 10^6-URL rounds)
+  ABWCF_BENCH_IMG      image payload size WxH    (default 96x64; 112x80
+                       measured in round 3 remains available via this knob)
+  ABWCF_BENCH_DATAPATH_ROWS  payload rows for the single-job datapath
+                       scaling probes (default 192000; a deterministic
+                       part-file subset of the corpus)
   ABWCF_BENCH_BUCKETS  fixed frontier bucket count (default: adaptive)
   ABWCF_BENCH_CACHE    corpus cache dir          (default <repo>/.bench-cache)
   ABWCF_SERIAL_COMMIT  disable concurrent round-commit jobs (lap profiling)
@@ -65,25 +80,27 @@ BENCH_CFG = CrawlConfig(
 
 
 def bench_spec() -> CorpusSpec:
-    n_hosts = int(os.environ.get("ABWCF_BENCH_HOSTS", "512"))
-    urls = int(os.environ.get("ABWCF_BENCH_URLS", "2000"))
-    fanout = int(os.environ.get("ABWCF_BENCH_FANOUT", "48"))
-    img = os.environ.get("ABWCF_BENCH_IMG", "112x80")
+    n_hosts = int(os.environ.get("ABWCF_BENCH_HOSTS", "768"))
+    urls = int(os.environ.get("ABWCF_BENCH_URLS", "1000"))
+    fanout = int(os.environ.get("ABWCF_BENCH_FANOUT", "200"))
+    img = os.environ.get("ABWCF_BENCH_IMG", "96x64")
     iw, ih = (int(v) for v in img.split("x"))
     return CorpusSpec(
         n_hosts=n_hosts,
         urls_per_host=urls,
         seed_hosts=n_hosts,
         with_images=True,
-        # realistic-ish payload weight: decode+validate a ~112×80 image per
-        # URL — real crawl payloads are far HEAVIER still (a typical web
-        # image is ≥100 KB vs these ~25 KB thumbnails), and per-row payload
-        # compute is exactly what a 1000-executor cluster scales
+        # payload weight: decode+validate one image per URL — real crawl
+        # payloads are far HEAVIER still (a typical web image is ≥100 KB vs
+        # these thumbnails), and per-row payload compute is exactly what a
+        # 1000-executor cluster scales; 112x80 (round-3 weight) stays
+        # available via ABWCF_BENCH_IMG
         image_size=(iw, ih),
-        # wide + deep rounds: the per-round driver-serialized latency is
-        # core-count-invariant (~8 s/round), so the scaling measurement
-        # needs rounds big enough (~200k URLs fetched/round) to amortize it
-        # — exactly the production regime, where rounds carry 10^6-10^8 URLs
+        # wide + SHALLOW link tree: fanout 200 over 1000 urls/host crawls in
+        # 4 rounds with ~200-600 fetches/host/round, so the core-invariant
+        # ~7 s/round driver term is amortized the same way production rounds
+        # (10^6-10^8 URLs each) amortize it — and the whole scaling pair
+        # fits the driver's bench timeout (round-3 lesson: rc=124)
         fanout=fanout,
         crawl_delays={i: 0.0 for i in range(n_hosts)},
     )
@@ -255,12 +272,35 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
         spark.stop()
 
 
+def _datapath_subset(corpus_dir: str) -> list[str]:
+    """Deterministic part-file subset of the corpus sized to
+    ABWCF_BENCH_DATAPATH_ROWS — the datapath probes measure per-row
+    data-plane scaling, so a fixed-size sample keeps their wall time inside
+    the bench budget at any corpus size (both core counts read the SAME
+    files)."""
+    cap = int(os.environ.get("ABWCF_BENCH_DATAPATH_ROWS", "192000"))
+    if not os.path.isdir(corpus_dir):  # legacy single-file cache layout
+        return [corpus_dir]
+    parts = sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    if not parts:
+        return [corpus_dir]
+    import pyarrow.parquet as pq
+
+    rows_per = max(pq.ParquetFile(parts[0]).metadata.num_rows, 1)
+    k = max(min((cap + rows_per - 1) // rows_per, len(parts)), 1)
+    return parts[:k]
+
+
 def run_datapath(cpus: int, paths: dict[str, str]) -> dict:
-    """Single-job scaling probes over the full corpus — the engine's two
-    dominant parallel stages, each measured as ONE Spark job so the number
-    reflects data-plane scaling (the full crawl adds a fixed ~15-20 s/round
-    of driver-serialized latency that is invariant in core count and
-    vanishes at production round sizes; see BASELINE.md decomposition)."""
+    """Single-job scaling probes over a fixed-size corpus subset — the
+    engine's two dominant parallel stages, each measured as ONE Spark job so
+    the number reflects data-plane scaling (the full crawl adds a fixed
+    ~7 s/round of driver-serialized latency that is invariant in core count
+    and vanishes at production round sizes; see BASELINE.md decomposition)."""
     from pyspark.sql import functions as F
 
     from abwcf_spark.operators.udfs import (
@@ -274,7 +314,7 @@ def run_datapath(cpus: int, paths: dict[str, str]) -> dict:
         extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
     try:
-        corpus = spark.read.parquet(paths["corpus"])
+        corpus = spark.read.parquet(*_datapath_subset(paths["corpus"]))
         # warm page cache + codegen + PYTHON WORKERS (each of the N worker
         # processes pays ~1.5 s of pandas/numpy import on first use — at 32
         # cores that is ~50 core-seconds of one-time cost that must not
@@ -351,6 +391,12 @@ def _run_phase(argv: list[str]) -> dict:
 
 
 def main() -> None:
+    t_start = time.time()
+    budget = float(os.environ.get("ABWCF_BENCH_BUDGET_S", "1350"))
+
+    def remaining() -> float:
+        return budget - (time.time() - t_start)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # the scaling pair runs BELOW the machine's background load (this box
@@ -364,23 +410,50 @@ def main() -> None:
     scale_hi = scale_lo * 4
 
     paths = materialize_corpus()
-    hi = _run_phase(["_crawl", str(cpus_hi), json.dumps(paths)])
+    # NORTH-RULE EVIDENCE FIRST (round-3 lesson: BENCH_r03 was rc=124 with
+    # the scaling pair never reached): lo + mid crawls, then everything else
+    # strictly budget-permitting
     lo = _run_phase(["_crawl", str(scale_lo), json.dumps(paths)])
     mid = _run_phase(["_crawl", str(scale_hi), json.dumps(paths)])
-    dlo = _run_phase(["_datapath", str(scale_lo), json.dumps(paths)])
-    dhi = _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
-    qtimes = _run_phase(["_queries", str(cpus_hi), sf_dir])
-
-    # scaling efficiency from N to 4N cores on the same input
     ratio = mid["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
     eff = ratio / (scale_hi / scale_lo)
-    d_lo_wall = dlo["validate_wall"] + dlo["normdedup_wall"]
-    d_hi_wall = dhi["validate_wall"] + dhi["normdedup_wall"]
-    d_eff = (d_lo_wall / d_hi_wall) / (scale_hi / scale_lo) if d_hi_wall else 0.0
-    # headline = best sustained config: this VM carries a persistent ~9
-    # background load, so the 32-core run is often SLOWER than 16-core
-    # (only ~23 effective cores); report the best with its core count
-    best = max((lo, mid, hi), key=lambda r: r["urls_per_sec"])
+
+    # optional tail phases, cheapest-evidence-per-second first; estimates
+    # are conservative multiples of the measured lo/mid walls so a slow box
+    # skips phases instead of timing out mid-phase
+    skipped: list[str] = []
+    dlo = dhi = None
+    est_datapath = 0.45 * lo["wall_sec"] + 60
+    if remaining() > est_datapath:
+        dlo = _run_phase(["_datapath", str(scale_lo), json.dumps(paths)])
+        dhi = _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
+    else:
+        skipped.append("datapath")
+    qtimes: dict[str, float] = {}
+    if remaining() > 150:
+        qtimes = _run_phase(["_queries", str(cpus_hi), sf_dir])
+    else:
+        skipped.append("queries")
+    hi = None
+    if cpus_hi == scale_hi:
+        pass  # the mid crawl already IS the all-core run
+    elif remaining() > mid["wall_sec"] + 60:
+        hi = _run_phase(["_crawl", str(cpus_hi), json.dumps(paths)])
+    else:
+        skipped.append("crawl_hi")
+
+    d_eff = d_speedup = None
+    if dlo and dhi:
+        d_lo_wall = dlo["validate_wall"] + dlo["normdedup_wall"]
+        d_hi_wall = dhi["validate_wall"] + dhi["normdedup_wall"]
+        d_speedup = d_lo_wall / d_hi_wall if d_hi_wall else 0.0
+        d_eff = d_speedup / (scale_hi / scale_lo)
+    # headline = best sustained config: this VM carries a persistent
+    # variable background load, so the all-core run is often SLOWER than
+    # the mid one; report the best with its core count
+    best = max(
+        (r for r in (lo, mid, hi) if r), key=lambda r: r["urls_per_sec"]
+    )
     out = {
         "metric": "frontier_urls_fetched_per_sec",
         "value": best["urls_per_sec"],
@@ -399,9 +472,12 @@ def main() -> None:
         "scaling_datapath": {
             "cores_lo": scale_lo,
             "cores_hi": scale_hi,
-            "speedup": round(d_lo_wall / d_hi_wall, 3) if d_hi_wall else 0.0,
-            "efficiency": round(d_eff, 3),
-        },
+            "speedup": round(d_speedup, 3) if d_speedup is not None else None,
+            "efficiency": round(d_eff, 3) if d_eff is not None else None,
+        } if d_eff is not None else None,
+        "budget_s": budget,
+        "elapsed_s": round(time.time() - t_start, 1),
+        "skipped_phases": skipped,
     }
     print(json.dumps(out))
 

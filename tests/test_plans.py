@@ -119,6 +119,10 @@ def test_fetch_order_counts_window_is_partitioned(spark):
 
 
 def test_status_merge_broadcasts_update_side(spark, fixture_dfs):
+    """merge_fetch_statuses is a REFERENCE-ONLY CoW kernel (the engine's
+    commit path is MoR — covered by test_mor_reconcile_keeps_frontier_scan_
+    shaped below); as a public building block it must still broadcast the
+    round-sized update side rather than shuffle the frontier."""
     from abwcf_spark.operators.round_ops import merge_fetch_statuses
 
     crawler = SparkCrawler(
