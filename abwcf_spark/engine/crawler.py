@@ -1008,12 +1008,17 @@ class SparkCrawler:
             data_paths += [p for b in major for p in data_by_b.get(b, [])]
             upd_paths = [p for b in major for p in upd_by_b.get(b, [])]
             rec = self._read_leaves(data_paths) if data_paths else None
-            if rec is not None and upd_paths:
+            if upd_paths:
                 upd = self._read_leaves(upd_paths)
-                u = upd.select("url")
-                if self._leaf_rows(upd_paths) <= self.seen_broadcast_limit:
-                    u = F.broadcast(u)
-                rec = rec.join(u, "url", "left_anti").unionByName(upd)
+                if rec is None:
+                    # unreachable in the round loop (an update implies a
+                    # prior insert in the same bucket), but never drop rows
+                    rec = upd
+                else:
+                    u = upd.select("url")
+                    if self._leaf_rows(upd_paths) <= self.seen_broadcast_limit:
+                        u = F.broadcast(u)
+                    rec = rec.join(u, "url", "left_anti").unionByName(upd)
             base_dir = os.path.join(d, "fr_base")
             if rec is not None:
                 self._write_delta(rec, base_dir, self._parts)

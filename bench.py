@@ -25,12 +25,14 @@ completed.
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir for the operator queries (sf0.1)
   SPARK_GRAFT_CPUS     the 4N core count (default 32; N = cpus // 4)
-  ABWCF_BENCH_BUDGET_S total wall budget in seconds (default 1350)
+  ABWCF_BENCH_BUDGET_S total wall budget in seconds (default 1650)
   ABWCF_BENCH_HOSTS    bench corpus hosts        (default 768)
   ABWCF_BENCH_URLS     bench corpus urls/host    (default 1000)
-  ABWCF_BENCH_FANOUT   link-tree fanout          (default 200; wide+shallow
-                       → 4 rounds, amortizing the core-invariant ~7s/round
-                       driver term exactly like production 10^6-URL rounds)
+  ABWCF_BENCH_FANOUT   link-tree fanout          (default 200 → 4 rounds of
+                       768/153k/614k/dup-only fetches; the measured
+                       full-loop sweet spot — a fanout-999 single-giant-
+                       round shape measured WORSE at high core counts, see
+                       BASELINE.md round-4 notes)
   ABWCF_BENCH_IMG      image payload size WxH    (default 96x64; 112x80
                        measured in round 3 remains available via this knob)
   ABWCF_BENCH_DATAPATH_ROWS  payload rows for the single-job datapath
@@ -233,6 +235,8 @@ def materialize_corpus() -> dict[str, str]:
 
 
 def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
+    from pyspark.sql import functions as F
+
     # split the payload-table scan finely enough that every core gets work
     # (the decode/validate stage's parallelism == scan partitions)
     spark = get_spark(
@@ -257,6 +261,15 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
                 if os.environ.get("ABWCF_BENCH_BUCKETS") else None
             ),
         )
+        # warm codegen + PYTHON WORKERS before the timed window (same
+        # practice as the datapath phase): each of the N worker processes
+        # pays ~1.5 s of pandas/numpy import on first use — a one-time
+        # core-count-DEPENDENT cost that would otherwise land inside
+        # round 0 and distort the N-vs-4N comparison
+        _warm = F.pandas_udf(lambda x: x, "long")
+        spark.range(0, 100_000, 1, cpus * 4).select(
+            F.count(_warm(F.col("id")))
+        ).collect()
         t0 = time.time()
         res = crawler.run(seeds=seeds)
         wall = time.time() - t0
@@ -392,7 +405,7 @@ def _run_phase(argv: list[str]) -> dict:
 
 def main() -> None:
     t_start = time.time()
-    budget = float(os.environ.get("ABWCF_BENCH_BUDGET_S", "1350"))
+    budget = float(os.environ.get("ABWCF_BENCH_BUDGET_S", "1650"))
 
     def remaining() -> float:
         return budget - (time.time() - t_start)
@@ -409,77 +422,89 @@ def main() -> None:
     scale_lo = max(cpus_hi // 16, 2)
     scale_hi = scale_lo * 4
 
+    lo = mid = hi = dlo = dhi = None
+    qtimes: dict[str, float] = {}
+    skipped: list[str] = []
+
+    def emit() -> None:
+        """Print a complete cumulative JSON snapshot after EVERY phase: an
+        external kill (the round-3 failure mode: the recording harness
+        timed out and captured nothing) still leaves the latest snapshot
+        as the last stdout line, scaling evidence included."""
+        ratio = (
+            mid["urls_per_sec"] / lo["urls_per_sec"]
+            if lo and mid and lo["urls_per_sec"] else None
+        )
+        d_speedup = d_eff = None
+        if dlo and dhi:
+            d_lo_wall = dlo["validate_wall"] + dlo["normdedup_wall"]
+            d_hi_wall = dhi["validate_wall"] + dhi["normdedup_wall"]
+            d_speedup = d_lo_wall / d_hi_wall if d_hi_wall else 0.0
+            d_eff = d_speedup / (scale_hi / scale_lo)
+        # headline = best sustained config: this VM carries a persistent
+        # variable background load, so the all-core run is often SLOWER
+        # than the mid one; report the best with its core count
+        done = [r for r in (lo, mid, hi) if r]
+        best = max(done, key=lambda r: r["urls_per_sec"]) if done else None
+        out = {
+            "metric": "frontier_urls_fetched_per_sec",
+            "value": best["urls_per_sec"] if best else None,
+            "value_cpus": best["cpus"] if best else None,
+            "unit": "urls/sec",
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "queries": qtimes,
+            "crawl": {"lo": lo, "mid": mid, "hi": hi},
+            "scaling": {
+                "cores_lo": scale_lo,
+                "cores_hi": scale_hi,
+                "speedup": round(ratio, 3) if ratio is not None else None,
+                "efficiency": round(ratio / (scale_hi / scale_lo), 3)
+                if ratio is not None else None,
+            },
+            "datapath": {"lo": dlo, "hi": dhi},
+            "scaling_datapath": {
+                "cores_lo": scale_lo,
+                "cores_hi": scale_hi,
+                "speedup": round(d_speedup, 3),
+                "efficiency": round(d_eff, 3),
+            } if d_eff is not None else None,
+            "budget_s": budget,
+            "elapsed_s": round(time.time() - t_start, 1),
+            "skipped_phases": skipped,
+        }
+        print(json.dumps(out), flush=True)
+
     paths = materialize_corpus()
     # NORTH-RULE EVIDENCE FIRST (round-3 lesson: BENCH_r03 was rc=124 with
     # the scaling pair never reached): lo + mid crawls, then everything else
     # strictly budget-permitting
     lo = _run_phase(["_crawl", str(scale_lo), json.dumps(paths)])
+    emit()
     mid = _run_phase(["_crawl", str(scale_hi), json.dumps(paths)])
-    ratio = mid["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
-    eff = ratio / (scale_hi / scale_lo)
+    emit()
 
     # optional tail phases, cheapest-evidence-per-second first; estimates
     # are conservative multiples of the measured lo/mid walls so a slow box
     # skips phases instead of timing out mid-phase
-    skipped: list[str] = []
-    dlo = dhi = None
     est_datapath = 0.45 * lo["wall_sec"] + 60
     if remaining() > est_datapath:
         dlo = _run_phase(["_datapath", str(scale_lo), json.dumps(paths)])
         dhi = _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
+        emit()
     else:
         skipped.append("datapath")
-    qtimes: dict[str, float] = {}
     if remaining() > 150:
         qtimes = _run_phase(["_queries", str(cpus_hi), sf_dir])
+        emit()
     else:
         skipped.append("queries")
-    hi = None
     if cpus_hi == scale_hi:
         pass  # the mid crawl already IS the all-core run
     elif remaining() > mid["wall_sec"] + 60:
         hi = _run_phase(["_crawl", str(cpus_hi), json.dumps(paths)])
     else:
         skipped.append("crawl_hi")
-
-    d_eff = d_speedup = None
-    if dlo and dhi:
-        d_lo_wall = dlo["validate_wall"] + dlo["normdedup_wall"]
-        d_hi_wall = dhi["validate_wall"] + dhi["normdedup_wall"]
-        d_speedup = d_lo_wall / d_hi_wall if d_hi_wall else 0.0
-        d_eff = d_speedup / (scale_hi / scale_lo)
-    # headline = best sustained config: this VM carries a persistent
-    # variable background load, so the all-core run is often SLOWER than
-    # the mid one; report the best with its core count
-    best = max(
-        (r for r in (lo, mid, hi) if r), key=lambda r: r["urls_per_sec"]
-    )
-    out = {
-        "metric": "frontier_urls_fetched_per_sec",
-        "value": best["urls_per_sec"],
-        "value_cpus": best["cpus"],
-        "unit": "urls/sec",
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "queries": qtimes,
-        "crawl": {"lo": lo, "mid": mid, "hi": hi},
-        "scaling": {
-            "cores_lo": scale_lo,
-            "cores_hi": scale_hi,
-            "speedup": round(ratio, 3),
-            "efficiency": round(eff, 3),
-        },
-        "datapath": {"lo": dlo, "hi": dhi},
-        "scaling_datapath": {
-            "cores_lo": scale_lo,
-            "cores_hi": scale_hi,
-            "speedup": round(d_speedup, 3) if d_speedup is not None else None,
-            "efficiency": round(d_eff, 3) if d_eff is not None else None,
-        } if d_eff is not None else None,
-        "budget_s": budget,
-        "elapsed_s": round(time.time() - t_start, 1),
-        "skipped_phases": skipped,
-    }
-    print(json.dumps(out))
+    emit()
 
 
 if __name__ == "__main__":

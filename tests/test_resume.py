@@ -140,9 +140,17 @@ def test_metrics_table_survives_resume_and_matches_oracle(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(ta, tb)
 
+    # the oracle comparison excludes engine-cache stages: the pure-python
+    # simulator has no bloom, and cache_bloom_probe's rejected side counts
+    # false positives the oracle cannot model (the o20_metrics_table gate
+    # entry runs use_bloom=False for the same reason — queries.py)
+    ta_sem = (
+        ta[ta["stage"] != "cache_bloom_probe"]
+        .sort_values(["round", "stage"]).reset_index(drop=True)
+    )
     exp = (
         pd.DataFrame([r for m in oracle.metrics for r in metrics_stage_rows(m)])
         [cols].sort_values(["round", "stage"]).reset_index(drop=True)
         .astype(ta.dtypes.to_dict())
     )
-    pd.testing.assert_frame_equal(ta, exp)
+    pd.testing.assert_frame_equal(ta_sem, exp)
