@@ -338,6 +338,9 @@ class SparkCrawler:
         self.fetch_seq = 0
         self.metrics: list[dict] = []
         self.payload_failures = 0
+        self._commit_laps: dict[str, float] = {}  # per-commit lap timings
+        # (reset by _commit_round; initialized here so _maybe_compact can
+        # also be driven standalone, e.g. scripts/bench_buckets.py)
         self._bg = ThreadPoolExecutor(max_workers=1)  # bloom-update overlap
         self._bloom_future = None  # in-flight shard update (joined per round)
 
