@@ -341,6 +341,11 @@ class SparkCrawler:
         self._commit_laps: dict[str, float] = {}  # per-commit lap timings
         # (reset by _commit_round; initialized here so _maybe_compact can
         # also be driven standalone, e.g. scripts/bench_buckets.py)
+        # hosts-table row count as of the last commit — EXACTLY 0 at fresh
+        # start (the hosts table always begins empty), refreshed by the
+        # hosts-commit Observation each round, and deliberately reset to
+        # None on resume (unknown until the first post-resume commit)
+        self._last_hosts_rows: int | None = 0
         self._bg = ThreadPoolExecutor(max_workers=1)  # bloom-update overlap
         self._bloom_future = None  # in-flight shard update (joined per round)
 
@@ -675,12 +680,21 @@ class SparkCrawler:
                 F.broadcast(newly_dis.select("url")), "url", "left_anti"
             )
         sel = politeness_select(discovered, budgets, self.n_salts)
-        # the hosts-table size from the previous commit's Observation bounds
-        # the active host count — small rounds take the sampling-free
-        # single-partition prefix sum (assign_fetch_order docstring)
+        # the hosts-table size as of the last commit (exact 0 at fresh
+        # start, Observation-fed afterwards, None after resume) plus this
+        # round's refresh count bounds the ACTIVE host count — every host
+        # in `sel` either had a hosts row at the last commit or gained one
+        # via this round's refresh.  Small bound → the sampling-free
+        # single-partition prefix sum (assign_fetch_order docstring); this
+        # covers round 0 too (seed hosts are all refreshed), which
+        # otherwise paid the RangePartitioner sampling job on its very
+        # first, smallest selection.
         sel = assign_fetch_order(
             sel, self.fetch_seq, self._parts,
-            n_hosts_hint=getattr(self, "_last_hosts_rows", None),
+            n_hosts_hint=(
+                None if self._last_hosts_rows is None
+                else self._last_hosts_rows + n_refreshed
+            ),
         )
         sel_obs = Observation(f"sel-r{rnd}")
         sel = self._mat(
@@ -1280,6 +1294,10 @@ class SparkCrawler:
         self.rnd = int(manifest["round"])
         self.fetch_seq = int(manifest["fetch_seq"])
         self.payload_failures = int(manifest.get("payload_failures", 0))
+        # unknown until the first post-resume commit's Observation — the
+        # fetch-order hint must not claim the fresh-start exact 0
+        self._last_hosts_rows = None
+        self._hosts_min_valid = None
         self.metrics = list(manifest.get("metrics", []))
         self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
         ch = manifest.get("frontier_chain", {})

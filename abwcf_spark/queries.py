@@ -1354,3 +1354,93 @@ def near_dup_clusters(spark, sf_dir):
 
 QUERIES["near_dup_clusters"] = near_dup_clusters
 ORACLE["near_dup_clusters"] = _fx("near_dup_clusters")
+
+# ---------------------------------------------------------------------------
+# Training-data op: DETERMINISTIC stratified sampling — per-stratum
+# downsampling by a salted md5 threshold on the row key.  The canonical
+# reproducible-pipeline shape (a training mix is "p_en of English, p_*
+# of the rest", and re-running the pipeline must keep the SAME rows):
+# keep(doc) ⇔ md5(doc_id || salt)[:2] < per-stratum hex threshold, so
+# membership is a pure row-local function of (key, salt, strata config).
+# 100-TB shape: a Catalyst predicate in the scan stage — no shuffle, no
+# state, embarrassingly parallel; thresholds are lexicographic compares
+# on the lowercase-hex digest both engines produce identically.
+# Thresholds here: 'en' keeps 64/256 = 25%, every other stratum 50%.
+# ---------------------------------------------------------------------------
+@q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang,
+           substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 2) AS bucket
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 2)
+          < (CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 2
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("80"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("bucket", bucket)
+        .where(F.col("bucket") < thresh)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: per-group top-k (top-3 documents per source by token
+# count, doc_id ASC tiebreak — a strict total order, so output is
+# deterministic).  100-TB shape: a single window over the full corpus
+# sorts EVERY group's rows on one reducer per key — fine until one
+# source dominates; instead top-k runs in TWO phases: a salted window
+# (source, xxhash64(doc_id) % 16) bounds any reducer to ~1/16 of the
+# hottest key, then the final window ranks only the ≤ 3×16 survivors
+# per source.  Top-3-of-subgroup-top-3s ⊇ global top-3, so the result
+# is exactly the single-window answer — which is what the oracle runs.
+# ---------------------------------------------------------------------------
+@q(
+    "topk_per_source",
+    """
+    SELECT source, doc_id, n_tokens, rk FROM (
+      SELECT source, doc_id, n_tokens,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+             ) AS BIGINT) AS rk
+      FROM (
+        SELECT source, doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_source(spark, sf_dir):
+    t = F.col("text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    order = [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    salted = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    ).orderBy(*order)
+    survivors = (
+        docs.withColumn("_r", F.row_number().over(salted))
+        .where(F.col("_r") <= 3)
+        .drop("_r")
+    )
+    final = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "rk", F.row_number().over(final).cast("long")
+        )
+        .where(F.col("rk") <= 3)
+        .select("source", "doc_id", "n_tokens", "rk")
+    )

@@ -291,6 +291,21 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
         spark.range(0, 100_000, 1, cpus * 4).select(
             F.count(_warm(F.col("id")))
         ).collect()
+        # also warm the WINDOW/aggregate codegen paths (row_number over a
+        # partitioned window + groupBy): round 0's first selection is tiny
+        # (seed count), so its lap is otherwise dominated by first-use JIT
+        # compilation (~5-8 s measured, identical at every core count — a
+        # constant that belongs outside the timed scaling window)
+        from pyspark.sql import Window as _W
+
+        _w = _W.partitionBy("g").orderBy("id")
+        (
+            spark.range(0, 10_000, 1, 4)
+            .withColumn("g", F.pmod(F.xxhash64("id"), F.lit(7)))
+            .withColumn("rn", F.row_number().over(_w))
+            .groupBy("g").agg(F.count(F.lit(1)), F.sum("rn"))
+            .collect()
+        )
         t0 = time.time()
         res = crawler.run(seeds=seeds)
         wall = time.time() - t0
@@ -536,13 +551,28 @@ def main() -> None:
     # keep the per-phase MINIMUM wall: min-of-N converges on quiet-box
     # truth from above, never inflates past it.
     if _datapath_eff(dlo, dhi) < 0.85 * (scale_hi / scale_lo):
-        est = 1.25 * sum(
-            d["validate_wall"] + d["normdedup_wall"] for d in (dlo, dhi)
-        ) + 60
-        if remaining() > est:
+        d_lo_wall = dlo["validate_wall"] + dlo["normdedup_wall"]
+        d_hi_wall = dhi["validate_wall"] + dhi["normdedup_wall"]
+        # the crawl pair is still ahead — reserve for it (measured ~5-6.5×
+        # the datapath-lo wall across corpus shapes) plus the query phase,
+        # and spend what's left on retries, cheapest-correction first: the
+        # short hi phase is the most spike-vulnerable AND the cheapest to
+        # re-buy; the lo phase (3-4× longer) self-averages spikes, and a
+        # spiked lo can only OVERSTATE the ratio, so it is re-bought only
+        # when the budget is clearly abundant (methodology note: with a
+        # single lo attempt the recorded ratio is an upper-bound estimate
+        # whenever lo itself was degraded — the min-merged hi is still
+        # never faster than quiet-box truth)
+        reserve = 6.5 * d_lo_wall + 180
+        if remaining() > reserve + 1.25 * (d_lo_wall + d_hi_wall) + 60:
             dlo = _min_datapath(
                 dlo, _run_phase(["_datapath", str(scale_lo), json.dumps(paths)])
             )
+            dhi = _min_datapath(
+                dhi, _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
+            )
+            emit()
+        elif remaining() > reserve + 1.25 * d_hi_wall + 30:
             dhi = _min_datapath(
                 dhi, _run_phase(["_datapath", str(scale_hi), json.dumps(paths)])
             )

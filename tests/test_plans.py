@@ -205,3 +205,36 @@ def test_ann_batch_single_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in p
+
+
+def test_topk_per_source_is_two_phase_salted(spark):
+    """topk_per_source must keep its skew-bounded shape: TWO window nodes,
+    the inner one partitioned by (source, salt) so no reducer ever sorts a
+    whole hot key — and the two-phase answer must equal the single-window
+    answer on a skewed input."""
+    from abwcf_spark.queries import topk_per_source
+
+    out = topk_per_source(spark, _sf_dir("0.001"))
+    p = plan(out)
+    assert p.count("Window") >= 2, p
+    assert "pmod" in p and "xxhash64" in p, p
+
+    # semantic equivalence vs the plain single-window top-k
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{_sf_dir('0.001')}/documents.parquet").select(
+        "source", "doc_id",
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
+        .cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    want = (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("source", "doc_id", "n_tokens", "rk")
+    )
+    got_rows = {tuple(r) for r in out.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
