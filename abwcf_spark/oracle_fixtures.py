@@ -746,6 +746,138 @@ BUILDERS["o20_metrics_table"] = build_metrics_table
 BUILDERS["ngram_jaccard_pairs"] = build_ngram_jaccard
 
 
+# --------------------------------------------------------------------------
+# pHash near-duplicate pairs (image modality).  Shared tuning + input
+# builder + INDEPENDENT brute-force mirror.
+# --------------------------------------------------------------------------
+
+PHASH_BANDS = 4          # 4 × 16-bit bands over the 64-bit perceptual hash
+PHASH_MAX_HAMMING = 3    # pigeonhole: ≤3 differing bits ⇒ ≥1 band intact
+PHASH_BUCKET_CAP = 64    # skew guard; the fixture builder asserts non-binding
+
+_U64 = (1 << 64) - 1
+
+
+def _phash_u(ph: int) -> int:
+    return int(ph) & _U64
+
+
+def phash_corpus() -> pd.DataFrame:
+    """(image_id, phash) input shared by the query and its mirror: every
+    REAL generated image of the T2 corpus (phash64 over its actual pixels),
+    plus deterministic 're-capture' variants whose hash differs by 0-3 bits
+    — the near-dup positives a second crawl of the same image produces."""
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][["image_id", "phash"]].reset_index(drop=True)
+    rows = [(str(i), int(p)) for i, p in zip(pdf.image_id, pdf.phash)]
+    out = list(rows)
+    for iid, ph in rows:
+        h = xxhash64_str(f"phdup|{iid}") & 0x7FFFFFFFFFFFFFFF
+        if h % 3 != 0:
+            continue
+        k = (h >> 8) % (PHASH_MAX_HAMMING + 1)
+        pos: list[int] = []
+        j = 0
+        while len(pos) < k:
+            p = xxhash64_str(f"phflip|{iid}|{j}") % 64
+            if p not in pos:
+                pos.append(p)
+            j += 1
+        u = _phash_u(ph)
+        for p in pos:
+            u ^= 1 << p
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        out.append((f"{iid}~v", signed))
+    return pd.DataFrame(out, columns=["image_id", "phash"]).astype(
+        {"image_id": "object", "phash": "int64"}
+    )
+
+
+def build_phash_near_dup() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.phash_near_dup_pairs: brute-force
+    O(n²) popcount over the shared input — no banding, no buckets — valid
+    because Hamming ≤ PHASH_MAX_HAMMING guarantees a shared 16-bit band
+    (pigeonhole over PHASH_BANDS bands) and the builder ASSERTS the bucket
+    cap never binds at fixture scale, so the banded query must find
+    exactly the brute-force pair set."""
+    from collections import Counter
+
+    pdf = phash_corpus()
+    recs = [(str(i), _phash_u(p)) for i, p in zip(pdf.image_id, pdf.phash)]
+    cnt = Counter(
+        (b, (u >> (16 * b)) & 0xFFFF) for _, u in recs for b in range(PHASH_BANDS)
+    )
+    assert max(cnt.values()) <= PHASH_BUCKET_CAP, "bucket cap binds; fixture invalid"
+    rows = []
+    for x in range(len(recs)):
+        ia, ua = recs[x]
+        for y in range(x + 1, len(recs)):
+            ib, ub = recs[y]
+            ham = bin(ua ^ ub).count("1")
+            if ham <= PHASH_MAX_HAMMING:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                rows.append((a, b, ham))
+    assert rows, "no near-dup pairs generated; fixture invalid"
+    return pd.DataFrame(rows, columns=["image_a", "image_b", "hamming"]).astype(
+        {"image_a": "object", "image_b": "object", "hamming": "int64"}
+    )
+
+
+BUILDERS["phash_near_dup_pairs"] = build_phash_near_dup
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (coarse-quantizer cells + multi-cell probe): shared tuning +
+# mirror.  Centroids are the IVF_K lowest-vec_id vectors (deterministic,
+# no aggregation → bit-identical on both engines); a k-means refinement is
+# a production extension that would need order-stable averaging.
+# --------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_PROBES = 4
+IVF_TOPK = 20
+
+
+def build_ann_ivf() -> pd.DataFrame:
+    """Mirror of queries.embedding_ann_ivf: cell assignment = argmax cosine
+    over the IVF_K centroid vectors (ties → larger cell id, matching
+    array_max's lexicographic struct order), probe the IVF_PROBES cells
+    nearest the query, exact fold-order cosine re-rank of the probed
+    cells' members."""
+    emb = _read_sf001("embeddings")
+    recs = sorted(
+        (int(v), [float(x) for x in e]) for v, e in zip(emb.vec_id, emb.embedding)
+    )
+    cents = [e for _, e in recs[:IVF_K]]
+
+    def cell_of(e) -> int:
+        return max((cosine(e, cv), c) for c, cv in enumerate(cents))[1]
+
+    qid, qv = recs[0]
+    order = sorted(
+        ((cosine(qv, cv), c) for c, cv in enumerate(cents)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = {c for _, c in order[:IVF_PROBES]}
+    rows = []
+    for vid, e in recs:
+        if vid == qid:
+            continue
+        c = cell_of(e)
+        if c not in probe:
+            continue
+        rows.append((vid, c, spark_round(cosine(e, qv))))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(
+        rows[:IVF_TOPK], columns=["vec_id", "cell", "cos_sim"]
+    ).astype({"vec_id": "int64", "cell": "int32", "cos_sim": "float64"})
+
+
+BUILDERS["embedding_ann_ivf"] = build_ann_ivf
+
+
 if __name__ == "__main__":
     import sys
 

@@ -1444,3 +1444,173 @@ def topk_per_source(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("source", "doc_id", "n_tokens", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-modality training-data op: pHash NEAR-DUPLICATE pairs — the image
+# analogue of MinHash text dedup.  Two crawls of the same image (recompress,
+# resize, re-encode) produce perceptual hashes a few bits apart; exact-hash
+# dedup (O5) misses them.  Banded self-join: the 64-bit phash splits into
+# PHASH_BANDS 16-bit bands; by pigeonhole, Hamming ≤ PHASH_MAX_HAMMING
+# implies at least one band matches exactly, so the (band, value) equi-join
+# finds EVERY true pair — recall 1.0, no all-pairs product — and the cheap
+# bit_count(xor) confirm rejects band-collision false positives JVM-side.
+# 100-TB shape: explode ×4, shuffle on (band, value), per-bucket cap
+# (PHASH_BUCKET_CAP) guards degenerate hot bands (e.g. flat-color images
+# sharing an all-zero band); everything is integer Catalyst — no UDF, no
+# float.  Oracle: INDEPENDENT brute-force popcount mirror
+# (oracle_fixtures.build_phash_near_dup — no banding), exact because the
+# pigeonhole guarantee is lossless and the fixture asserts the cap never
+# binds at fixture scale.
+# ---------------------------------------------------------------------------
+@q("phash_near_dup_pairs", _fx("phash_near_dup_pairs"))
+def phash_near_dup_pairs(spark, sf_dir):
+    from .oracle_fixtures import (
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+        PHASH_MAX_HAMMING,
+        phash_corpus,
+    )
+
+    pdf = phash_corpus()
+    sdf = spark.createDataFrame(
+        pdf.to_dict("records"), "image_id string, phash long"
+    ).repartition(8)
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bval"),
+            )
+            for i in range(PHASH_BANDS)
+        ])
+    ).alias("bv")
+    keyed = sdf.select("image_id", "phash", bands).select(
+        "image_id", "phash", F.col("bv.band").alias("band"),
+        F.col("bv.bval").alias("bval"),
+    )
+    ok = (
+        keyed.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .where(F.col("ct") <= PHASH_BUCKET_CAP)
+        .select("band", "bval")
+    )
+    capped = keyed.join(ok, ["band", "bval"])
+    a = capped.select(
+        "band", "bval",
+        F.col("image_id").alias("image_a"), F.col("phash").alias("ph_a"),
+    )
+    b = capped.select(
+        "band", "bval",
+        F.col("image_id").alias("image_b"), F.col("phash").alias("ph_b"),
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("image_a") < F.col("image_b"))
+        .select("image_a", "image_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path #2: IVF (inverted-file) coarse quantization — the
+# complement of the LSH variant above.  Every vector is assigned to the
+# nearest of IVF_K centroid cells (argmax cosine, map-only against a
+# broadcast centroid list); a query probes only the IVF_PROBES cells
+# nearest its own vector and exact-re-ranks their members.  At 10^10 rows
+# with cell-partitioned layout the probe prunes the scan to ~P/K of the
+# corpus vs LSH's fixed-radius Hamming buckets — IVF trades its recall
+# knob (n_probes) for partition pruning, which is why production ANN
+# (FAISS IVF-Flat) prefers it for disk-resident corpora.  Centroids are
+# the IVF_K lowest-vec_id vectors: deterministic and aggregation-free
+# (a k-means refinement would need order-stable float averaging to stay
+# reproducible across engines).  Oracle: constructed fixture
+# (oracle_fixtures.build_ann_ivf) mirroring fold order, the lexicographic
+# argmax tie-break, and HALF_UP rounding.
+# ---------------------------------------------------------------------------
+@q("embedding_ann_ivf", _fx("embedding_ann_ivf"))
+def embedding_ann_ivf(spark, sf_dir):
+    import math
+
+    from .oracle_fixtures import IVF_K, IVF_PROBES, IVF_TOPK
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.orderBy("vec_id").limit(IVF_K).select("vec_id", "embedding").collect()
+    cent_vecs = [[float(x) for x in r.embedding] for r in cents]
+    qid, qv = int(cents[0].vec_id), cent_vecs[0]
+
+    # driver-side probe selection over K vectors (constant work; plain
+    # left-fold float math so any engine reproduces the same doubles)
+    def pydot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def pycos(u, v):
+        return pydot(u, v) / (math.sqrt(pydot(u, u)) * math.sqrt(pydot(v, v)))
+
+    order = sorted(
+        ((pycos(qv, cv), c) for c, cv in enumerate(cent_vecs)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probes = [c for _, c in order[:IVF_PROBES]]
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+
+    e = F.col("embedding")
+
+    def cos_to(cv):
+        lit = F.lit(cv)
+        return dot(e, lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(lit, lit)))
+
+    # argmax cosine via array_max over (cs, c) structs: lexicographic
+    # struct order ⇒ ties break to the larger cell id (mirror matches)
+    cell = F.array_max(
+        F.array(*[
+            F.struct(cos_to(cv).alias("cs"), F.lit(c).alias("c"))
+            for c, cv in enumerate(cent_vecs)
+        ])
+    ).getField("c")
+    q_lit = F.lit(qv)
+    cos_q = dot(e, q_lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(q_lit, q_lit)))
+    return (
+        emb.withColumn("cell", cell.cast("int"))
+        .where(F.col("cell").isin(*probes) & (F.col("vec_id") != qid))
+        .select("vec_id", "cell", F.round(cos_q, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(IVF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed rollup (streaming/rollup.py) — the gate runs the
+# BATCH mode of the unified transform; tests/test_streaming_rollup.py runs
+# the SAME function as a watermarked Structured Streaming query and proves
+# late-data eviction.  Exact decimal summation makes the double output
+# order-independent, so it hash-matches any engine.
+# ---------------------------------------------------------------------------
+@q(
+    "events_windowed_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_windowed_rollup(spark, sf_dir):
+    from .streaming.rollup import windowed_event_rollup
+
+    return windowed_event_rollup(_t(spark, sf_dir, "events"))

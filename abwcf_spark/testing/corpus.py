@@ -163,6 +163,14 @@ def gen_corpus(
             h = h0 + ((hv >> 8) % 7)
             fmt = FMTS[hv % 3]
             is_redirect = spec.redirect_rate and j % spec.redirect_rate == spec.redirect_rate - 1
+            if is_redirect and not spec.leaf_links and not (spec.fanout * j + 1 < n):
+                # leafless corpora: the terminal tier must emit NOTHING —
+                # a redirect re-emits its target as a same-depth candidate,
+                # which would spawn a duplicate-only tail round of pure
+                # fixed cost (the exact thing leaf_links=False exists to
+                # avoid; redirect semantics stay exercised by the interior
+                # tiers, which keep their 3xx pages)
+                is_redirect = False
             is_error = spec.error_rate and j % spec.error_rate == spec.error_rate - 1 and not is_redirect
             status = 200
             redirect_to = None

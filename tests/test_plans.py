@@ -238,3 +238,24 @@ def test_topk_per_source_is_two_phase_salted(spark):
     got_rows = {tuple(r) for r in out.collect()}
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_phash_near_dup_no_cartesian(spark):
+    """The banded pHash self-join must stay an equi-join on (band, bval) —
+    never a cartesian/nested-loop product."""
+    from abwcf_spark.queries import phash_near_dup_pairs
+
+    p = plan(phash_near_dup_pairs(spark, _sf_dir("0.01")))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "bit_count" in p  # integer confirm stays JVM-side
+
+
+def test_embedding_ann_ivf_is_joinless_scan(spark):
+    """IVF candidate generation is map-only: broadcast-literal centroids,
+    cell filter in the scan stage, one TakeOrdered for the re-rank — the
+    plan must contain NO join operator of any kind."""
+    from abwcf_spark.queries import embedding_ann_ivf
+
+    p = plan(embedding_ann_ivf(spark, _sf_dir("0.01")))
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" in p, p

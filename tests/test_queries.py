@@ -352,3 +352,51 @@ def test_embedding_near_dup_multiprobe_finds_split_pair(spark, tmp_path):
     assert (1, 2) in pairs, f"split pair not found: {pairs}"
     row = got[(got.vec_a == 1) & (got.vec_b == 2)].iloc[0]
     assert row.cos_milli >= 900, row.cos_milli  # genuinely near-duplicate
+
+
+def test_phash_near_dup_finds_all_planted_variants(spark):
+    """Every deterministic 're-capture' variant (phash 0-3 bits from its
+    parent) must pair with that parent at the exact Hamming distance, and
+    nothing at Hamming > PHASH_MAX_HAMMING may appear (the bit_count
+    confirm rejects band-collision false positives)."""
+    from abwcf_spark.oracle_fixtures import PHASH_MAX_HAMMING, _phash_u, phash_corpus
+    from abwcf_spark.queries import phash_near_dup_pairs
+
+    out = phash_near_dup_pairs(spark, SF).toPandas()
+    assert (out["hamming"] <= PHASH_MAX_HAMMING).all()
+
+    pdf = phash_corpus()
+    by_id = dict(zip(pdf.image_id, pdf.phash))
+    got = {(a, b) for a, b in zip(out.image_a, out.image_b)}
+    planted = [(i, f"{i}~v") for i in by_id if f"{i}~v" in by_id]
+    assert planted, "corpus generated no variants"
+    for parent, var in planted:
+        ham = bin(_phash_u(by_id[parent]) ^ _phash_u(by_id[var])).count("1")
+        pair = (parent, var) if parent < var else (var, parent)
+        assert pair in got, f"missed planted pair {pair} (hamming {ham})"
+        row = out[(out.image_a == pair[0]) & (out.image_b == pair[1])]
+        assert int(row.hamming.iloc[0]) == ham
+
+
+def test_embedding_ann_ivf_recall(spark):
+    """IVF-probed ANN must find planted near-copies of the query vector:
+    a tiny perturbation keeps them in (or near) the query's own centroid
+    cell, which is always probed."""
+    import tempfile
+
+    from abwcf_spark.queries import embedding_ann_ivf
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").head(100)
+    q = np.array(emb.sort_values("vec_id").iloc[0]["embedding"], dtype=np.float32)
+    rng = np.random.default_rng(11)
+    planted = []
+    for i in range(10):
+        v = q + rng.normal(0, 0.02, size=q.shape).astype(np.float32)
+        planted.append({"vec_id": 900000 + i, "embedding": list(v), "label": 9})
+    allv = pd.concat([emb, pd.DataFrame(planted)], ignore_index=True)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(allv).write.parquet(f"{d}/embeddings.parquet")
+        ann = embedding_ann_ivf(spark, d).toPandas()
+    found = sum(1 for v in ann["vec_id"] if v >= 900000)
+    assert found >= 8, f"IVF ANN found only {found}/10 planted near-neighbors"
+    assert (ann.head(8)["vec_id"] >= 900000).all()
