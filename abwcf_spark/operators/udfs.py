@@ -211,3 +211,43 @@ def image_stats_batches(batches):
             rows, columns=["url", "w", "h", "mean_luma_milli", "phash"]
         ).astype({"url": "object", "w": "int32", "h": "int32",
                   "mean_luma_milli": "int64", "phash": "int64"})
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize (mapInPandas batch function)
+# --------------------------------------------------------------------------
+
+IMAGE_RESIZE_SCHEMA = "url string, rw int, rh int, mean_luma_milli long"
+RESIZE_TARGET = (16, 16)  # (rh, rw)
+
+
+def image_resize_batches(batches):
+    """mapInPandas body: decode → nearest-neighbor resize to RESIZE_TARGET
+    → integer mean luma of the thumbnail.  All math is EXACT integers
+    (floor-index NN sampling, integer pixel sum, floor-div milli-mean), so
+    any engine reproduces the result bit-for-bit — the property the
+    independent-decoder oracle mirror checks.  Undecodable payloads are
+    skipped (same policy as image_stats_batches)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.imagecodec import decode_image
+
+    rh, rw = RESIZE_TARGET
+    for pdf in batches:
+        rows = []
+        for url, data in zip(pdf["url"], pdf["bytes"]):
+            try:
+                px = decode_image(bytes(data))
+            except ValueError:
+                continue
+            h, w = int(px.shape[0]), int(px.shape[1])
+            iy = (np.arange(rh) * h) // rh
+            ix = (np.arange(rw) * w) // rw
+            thumb = px[iy][:, ix]
+            s = int(thumb.astype(np.int64).sum())
+            rows.append((url, rw, rh, (s * 1000) // int(thumb.size)))
+        yield pd.DataFrame(
+            rows, columns=["url", "rw", "rh", "mean_luma_milli"]
+        ).astype({"url": "object", "rw": "int32", "rh": "int32",
+                  "mean_luma_milli": "int64"})

@@ -878,6 +878,42 @@ def build_ann_ivf() -> pd.DataFrame:
 BUILDERS["embedding_ann_ivf"] = build_ann_ivf
 
 
+def build_image_resize() -> pd.DataFrame:
+    """Mirror of queries.image_resize_stats via the INDEPENDENT decoder
+    (mirror_decode) and pure-integer NN resize: floor-index sampling,
+    integer pixel sum, floor-div milli-mean — bit-exact by construction."""
+    from .operators.udfs import RESIZE_TARGET
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    rh, rw = RESIZE_TARGET
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][["url", "bytes"]].reset_index(drop=True)
+    rows = []
+    for url, data in zip(pdf["url"], pdf["bytes"]):
+        try:
+            px = mirror_decode(bytes(data))
+        except ValueError:
+            continue
+        h, w = int(px.shape[0]), int(px.shape[1])
+        nchan = int(px.shape[2]) if px.ndim == 3 else 1
+        total = 0
+        for y in range(rh):
+            sy = (y * h) // rh
+            for x in range(rw):
+                sample = px[sy][(x * w) // rw]
+                total += (
+                    sum(int(v) for v in sample) if nchan > 1 else int(sample)
+                )
+        rows.append((url, rw, rh, (total * 1000) // (rh * rw * nchan)))
+    return pd.DataFrame(
+        rows, columns=["url", "rw", "rh", "mean_luma_milli"]
+    ).astype({"url": "object", "rw": "int32", "rh": "int32",
+              "mean_luma_milli": "int64"})
+
+
+BUILDERS["image_resize_stats"] = build_image_resize
+
+
 if __name__ == "__main__":
     import sys
 

@@ -1614,3 +1614,28 @@ def events_windowed_rollup(spark, sf_dir):
     from .streaming.rollup import windowed_event_rollup
 
     return windowed_event_rollup(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal image RESIZE (the decode → resize → feature chain a training
+# pipeline runs before vision-model ingestion): nearest-neighbor thumbnail
+# via exact floor-index sampling inside a column-pruned mapInPandas (only
+# url + bytes reach Python — Arrow-batched, no per-row Python round trip).
+# All arithmetic is integer, so the INDEPENDENT decoder mirror
+# (oracle_fixtures.build_image_resize) reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+def image_resize_stats(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.udfs import IMAGE_RESIZE_SCHEMA, image_resize_batches
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][["url", "bytes"]].reset_index(drop=True)
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    sdf = spark.createDataFrame(pdf.to_dict("records"), "url string, bytes binary")
+    return sdf.repartition(8).mapInPandas(image_resize_batches, IMAGE_RESIZE_SCHEMA)
+
+
+QUERIES["image_resize_stats"] = image_resize_stats
+ORACLE["image_resize_stats"] = _fx("image_resize_stats")

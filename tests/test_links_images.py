@@ -141,3 +141,31 @@ def test_fixture_mirror_decoder_matches_kernel():
         except ValueError:
             m_err = True
         assert k_err == m_err, fmt
+
+
+def test_image_resize_thumbnail_is_exact_integer(spark):
+    """The NN-resize kernel's thumbnail mean must equal a straightforward
+    numpy NN resize computed here (floor-index sampling, integer mean) —
+    and the rows must cover every decodable image exactly once."""
+    import numpy as np
+
+    from abwcf_spark.kernels.imagecodec import decode_image
+    from abwcf_spark.operators.udfs import RESIZE_TARGET
+    from abwcf_spark.queries import image_resize_stats
+    from abwcf_spark.testing.corpus import T2_MULTI, gen_corpus
+
+    out = image_resize_stats(spark, None).toPandas()
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()].reset_index(drop=True)
+    assert len(out) == len(pdf)
+    rh, rw = RESIZE_TARGET
+    want = {}
+    for url, data in zip(pdf["url"], pdf["bytes"]):
+        px = decode_image(bytes(data))
+        h, w = px.shape[0], px.shape[1]
+        iy = (np.arange(rh) * h) // rh
+        ix = (np.arange(rw) * w) // rw
+        thumb = px[iy][:, ix]
+        want[url] = (int(thumb.astype(np.int64).sum()) * 1000) // int(thumb.size)
+    got = dict(zip(out["url"], out["mean_luma_milli"]))
+    assert got == want
