@@ -976,6 +976,22 @@ class SparkCrawler:
             if e.startswith("bucket=")
         }
 
+    def _base_leaf_selection(self) -> dict[int, tuple[int, str]]:
+        """bucket → (absorbed_round, base leaf dir) of the NEWEST base
+        generation containing that bucket.  The ONE newest-wins rule shared
+        by the MoR read plan (_reload_frontier) and the compaction planner
+        (_scan_chain_layout) — they must agree on which base leaf is live
+        per bucket or compaction would consume a different leaf set than
+        the read path serves."""
+        base_sel: dict[int, tuple[int, str]] = {}
+        for bdir in self.chain_base:  # oldest → newest: later wins
+            r = self._dir_round(bdir)
+            for b, leaf in self._bucket_dirs(bdir).items():
+                prev = base_sel.get(b)
+                if prev is None or r >= prev[0]:
+                    base_sel[b] = (r, leaf)
+        return base_sel
+
     def _scan_chain_layout(self):
         """Driver-local walk of the chain dirs → per-bucket live leaf paths
         (the MoR read plan, Iceberg-manifest style).  A bucket's base is the
@@ -986,13 +1002,7 @@ class SparkCrawler:
         Returns (base_sel, data_by_b, upd_by_b): base_sel maps bucket →
         (absorbed_round, base leaf dir); data/upd map bucket → ordered live
         delta leaf dirs."""
-        base_sel: dict[int, tuple[int, str]] = {}
-        for bdir in self.chain_base:  # oldest → newest: later wins
-            r = self._dir_round(bdir)
-            for b, leaf in self._bucket_dirs(bdir).items():
-                prev = base_sel.get(b)
-                if prev is None or r >= prev[0]:
-                    base_sel[b] = (r, leaf)
+        base_sel = self._base_leaf_selection()
         data_by_b: dict[int, list[str]] = {}
         upd_by_b: dict[int, list[str]] = {}
         for chain, by_b in ((self.chain_ins, data_by_b), (self.chain_upd, upd_by_b)):
@@ -1254,16 +1264,12 @@ class SparkCrawler:
             )
 
         if len(self.chain_base) <= 1:
+            # single generation: read the whole dir, skip the leaf walk
             base_paths = list(self.chain_base)
         else:
-            base_sel: dict[int, tuple[int, str]] = {}
-            for bdir in self.chain_base:  # oldest → newest: later wins
-                r = self._dir_round(bdir)
-                for b, leaf in self._bucket_dirs(bdir).items():
-                    prev = base_sel.get(b)
-                    if prev is None or r >= prev[0]:
-                        base_sel[b] = (r, leaf)
-            base_paths = [leaf for _, leaf in base_sel.values()]
+            base_paths = [
+                leaf for _, leaf in self._base_leaf_selection().values()
+            ]
         data_paths = base_paths + self.chain_ins
         self._data = (
             _read(data_paths) if data_paths

@@ -80,6 +80,15 @@ def connected_components(
     rooted at component minima).  Each iteration localCheckpoints the edge
     set: the lineage (and Catalyst's multiplicative join-size stats) would
     otherwise compound across iterations.
+
+    Superseded per-iteration checkpoint blocks are NOT explicitly freed —
+    DataFrame.unpersist() does not release localCheckpoint block storage
+    (verified on PySpark 4.1.2); they are reclaimed by the ContextCleaner
+    once the superseded Dataset is garbage-collected.  Retention is bounded
+    meanwhile: the edge set never grows past the input pair list, iteration
+    count is O(log n) (max_iter-capped), and the blocks are
+    MEMORY_AND_DISK — excess spills to disk rather than pressuring the
+    executor heap.
     """
     raw = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
     all_nodes = (

@@ -1544,7 +1544,11 @@ def embedding_ann_ivf(spark, sf_dir):
     qid, qv = int(cents[0].vec_id), cent_vecs[0]
 
     # driver-side probe selection over K vectors (constant work; plain
-    # left-fold float math so any engine reproduces the same doubles)
+    # left-fold float math so any engine reproduces the same doubles).
+    # INTENTIONALLY re-implemented rather than imported from
+    # oracle_fixtures: the mirror's cosine must stay an independent
+    # implementation for the gate's hash check to mean anything — the two
+    # folds agreeing is part of what the entry certifies.
     def pydot(u, v):
         acc = 0.0
         for x, y in zip(u, v):

@@ -33,9 +33,9 @@ Env knobs:
   SPARK_GRAFT_CPUS     the 4N core count (default 32; N = cpus // 4)
   ABWCF_BENCH_BUDGET_S total wall budget in seconds (default 1650)
   ABWCF_BENCH_HOSTS    bench corpus hosts        (default 768)
-  ABWCF_BENCH_URLS     bench corpus urls/host    (default 1000)
+  ABWCF_BENCH_URLS     bench corpus urls/host    (default 1500)
   ABWCF_BENCH_FANOUT   link-tree fanout          (default 200 → 3 fetch
-                       rounds of 768/153k/614k on the leafless tree; the
+                       rounds of 768/153.6k/998k on the leafless tree; the
                        measured full-loop sweet spot — a fanout-999 single-
                        giant-round shape measured WORSE at high core
                        counts, see BASELINE.md round-4 notes)
@@ -112,13 +112,14 @@ def bench_spec() -> CorpusSpec:
         # and the 2→8-core pair scales WORSE (eff 0.71 vs 0.80 at 96x64,
         # BASELINE.md round-4 notes); it stays available via ABWCF_BENCH_IMG
         image_size=(iw, ih),
-        # wide + SHALLOW link tree: fanout 200 over 1000 urls/host crawls in
-        # 3 fetch rounds of 768/153k/614k with ~200-800 fetches/host/round,
-        # so the core-invariant per-round driver term is amortized the same
-        # way production rounds (10^6-10^8 URLs each) amortize it — and the
-        # whole phase list fits the driver's bench timeout (round-3 lesson:
-        # rc=124; 1500 urls/host was tried and adds ~50% to the 2-core
-        # crawl wall, eating the margin — it stays behind ABWCF_BENCH_URLS)
+        # wide + SHALLOW link tree: fanout 200 over 1500 urls/host crawls in
+        # 3 fetch rounds of 768/153.6k/998k with ~200-1300 fetches/host/
+        # round, so the core-invariant per-round driver term is amortized
+        # the same way production rounds (10^6-10^8 URLs each) amortize it —
+        # and the whole phase list fits the driver's bench timeout
+        # (measured: the full list incl. the queries phase ran in 1,641 s,
+        # see BASELINE.md round-4 table; the round-3 rc=124 lesson is why
+        # the scaling pair runs FIRST with a snapshot after every phase)
         fanout=fanout,
         # terminal pages link nowhere (real sites have leaf pages): the
         # last fetch round emits zero candidates, so the crawl ends by

@@ -121,10 +121,7 @@ def run_config(spark, rows: int, buckets: int | None, delta_rows: int) -> dict:
     c._maybe_compact(os.path.join(work, "round=000009"))
     out["t_compact"] = round(time.time() - t0, 2)
 
-    n_files = sum(
-        len(files) for _, _, files in os.walk(work)
-        if True
-    )
+    n_files = sum(len(files) for _, _, files in os.walk(work))
     out["files"] = n_files
     out["t_total"] = round(
         out["t_base_write"] + out["t_delta_writes"]
