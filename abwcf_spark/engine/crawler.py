@@ -48,6 +48,7 @@ from ..config import (
     CrawlConfig,
 )
 from ..kernels.bloom_shards import ShardedBloom
+from ..kernels.cuckoo_shards import ShardedCuckoo
 from ..operators.round_ops import (
     advance_gates,
     assign_fetch_order,
@@ -216,6 +217,7 @@ class SparkCrawler:
         bloom_fpp: float = 0.01,
         use_bloom: bool = True,
         bloom_shards: int = 16,
+        seen_filter: str = "bloom",
         n_salts: int = 0,
         validate_payloads: bool = False,
         collect_metrics: bool = True,
@@ -257,12 +259,19 @@ class SparkCrawler:
                 resolved.write.parquet(rdir)
             resolved = spark.read.parquet(rdir)
         self.robots_corpus = resolved
-        # executor-side sharded bloom (kernels/bloom_shards.py): the driver
-        # holds only the O(K) shard-version map; bit arrays live as versioned
-        # files next to the frontier snapshots and are read/written by tasks
+        # executor-side sharded seen-filter (the north rule's "bloom/cuckoo-
+        # filter URL-seen set"): the driver holds only the O(K) shard-version
+        # map; the filter arrays live as versioned files next to the frontier
+        # snapshots and are read/written by tasks.  "bloom" (default) is the
+        # append-only fast path; "cuckoo" (kernels/cuckoo_shards.py) adds
+        # fingerprint DELETION at a slower insert rate — same no-false-
+        # negative probe contract either way.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo: {seen_filter}")
+        _filter_cls = ShardedBloom if seen_filter == "bloom" else ShardedCuckoo
         self.bloom = (
-            ShardedBloom(os.path.join(self.work_dir, "bloom"), bloom_capacity,
-                         bloom_fpp, n_shards=bloom_shards)
+            _filter_cls(os.path.join(self.work_dir, "bloom"), bloom_capacity,
+                        bloom_fpp, n_shards=bloom_shards)
             if use_bloom else None
         )
         self._last_bloom_versions: dict[int, int] = {}
@@ -1331,7 +1340,14 @@ class SparkCrawler:
         if self.use_bloom:
             bdir = os.path.join(self.work_dir, "bloom")
             if "bloom" in manifest:
-                self.bloom = ShardedBloom.from_manifest(bdir, manifest["bloom"])
+                # the manifest's kind tag wins over the constructor arg: a
+                # resume must reopen the filter the files were written by
+                _cls = (
+                    ShardedCuckoo
+                    if manifest["bloom"].get("kind") == "cuckoo"
+                    else ShardedBloom
+                )
+                self.bloom = _cls.from_manifest(bdir, manifest["bloom"])
                 self._last_bloom_versions = dict(self.bloom.versions)
             else:
                 # snapshot carries no bloom state (written with

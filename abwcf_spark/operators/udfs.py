@@ -133,6 +133,25 @@ def make_bloom_probe_udf(spark, bloom):
     return bloom_probe_udf, bc
 
 
+def make_cuckoo_probe_udf(spark, cuckoo):
+    """Cuckoo twin of make_bloom_probe_udf: broadcast the fingerprint table
+    (+ exact overflow stash) once; probe batches of xxhash64 keys.  Same
+    contract — False proves never-inserted — plus the table reflects any
+    DELETIONS applied before the broadcast."""
+    bc = spark.sparkContext.broadcast(cuckoo.to_bytes())
+
+    @F.pandas_udf(BooleanType())
+    def cuckoo_probe_udf(hashes: pd.Series) -> pd.Series:
+        from ..kernels.cuckoo import CuckooFilter
+
+        cf = CuckooFilter.from_bytes(bc.value)
+        return pd.Series(
+            cf.might_contain(hashes.to_numpy(dtype=np.int64)), index=hashes.index
+        )
+
+    return cuckoo_probe_udf, bc
+
+
 # --------------------------------------------------------------------------
 # Payload validation (mapInPandas batch function)
 # --------------------------------------------------------------------------

@@ -330,6 +330,40 @@ def bloom_fixture_bloom():
     return bf
 
 
+def cuckoo_fixture_filter():
+    """The cuckoo used by BOTH the o4 query and its fixture: part keys
+    divisible by 3 inserted (ascending key order — cuckoo eviction chains
+    make the table order-sensitive, so both sides must insert identically),
+    then keys divisible by 9 DELETED — the capability the bloom lacks and
+    the reason this entry exists alongside o4_bloom_probe."""
+    from .kernels.cuckoo import CuckooFilter
+
+    part = _read_sf001("part")
+    keys = sorted(int(k) for k in part.p_partkey if int(k) % 3 == 0)
+    cf = CuckooFilter.for_capacity(max(len(keys), 1024))
+    cf.add_hashes(np.array(
+        [xxhash64_str(f"https://cuckoo-{k}.example/x") for k in keys],
+        dtype=np.int64,
+    ))
+    gone = [k for k in keys if k % 9 == 0]
+    cf.remove_hashes(np.array(
+        [xxhash64_str(f"https://cuckoo-{k}.example/x") for k in gone],
+        dtype=np.int64,
+    ))
+    return cf
+
+
+def build_cuckoo_probe() -> pd.DataFrame:
+    cf = cuckoo_fixture_filter()
+    part = _read_sf001("part")
+    urls = [f"https://cuckoo-{int(k)}.example/x" for k in part.p_partkey]
+    hashes = np.array([xxhash64_str(u) for u in urls], dtype=np.int64)
+    maybe = cf.might_contain(hashes)
+    return pd.DataFrame({"url": urls, "maybe_seen": maybe}).astype(
+        {"url": "object", "maybe_seen": "bool"}
+    )
+
+
 def build_bloom_probe() -> pd.DataFrame:
     bf = bloom_fixture_bloom()
     part = _read_sf001("part")
@@ -631,6 +665,7 @@ BUILDERS = {
     "embedding_ann_batch": build_ann_batch,
     "crawl_t1_micro": build_crawl_t1_micro,
     "o4_bloom_probe": build_bloom_probe,
+    "o4_cuckoo_probe": build_cuckoo_probe,
     "o15_payload_validate": build_payload_validate,
     "near_dup_clusters": build_near_dup_clusters,
 }

@@ -850,6 +850,46 @@ def o4_bloom_probe(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# O4b — cuckoo-filter URL-seen probe (the north rule's "bloom/cuckoo-filter
+# URL-seen set": kernels/cuckoo.py, Fan et al. CoNEXT'14; selectable in the
+# engine via SparkCrawler(seen_filter="cuckoo")).  Same broadcast-probe
+# plumbing as o4_bloom_probe, but the filter exercises DELETION — keys %3==0
+# inserted, then %9==0 removed — which the bloom cannot do: the probe result
+# reflects the removals.  Inserts run in sorted key order on both sides
+# (cuckoo eviction chains make the table order-sensitive).
+# ---------------------------------------------------------------------------
+@q("o4_cuckoo_probe", _fx("o4_cuckoo_probe"))
+def o4_cuckoo_probe(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .kernels.cuckoo import CuckooFilter
+    from .kernels.hashing import xxhash64_str
+    from .operators.udfs import make_cuckoo_probe_udf
+
+    keys = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    keys = sorted(int(k) for k in keys.column(0).to_pylist() if int(k) % 3 == 0)
+    cf = CuckooFilter.for_capacity(max(len(keys), 1024))
+    cf.add_hashes(np.array(
+        [xxhash64_str(f"https://cuckoo-{k}.example/x") for k in keys],
+        dtype=np.int64,
+    ))
+    gone = [k for k in keys if k % 9 == 0]
+    cf.remove_hashes(np.array(
+        [xxhash64_str(f"https://cuckoo-{k}.example/x") for k in gone],
+        dtype=np.int64,
+    ))
+    probe, _bc = make_cuckoo_probe_udf(spark, cf)
+    url = F.concat(F.lit("https://cuckoo-"), F.col("p_partkey").cast("string"),
+                   F.lit(".example/x"))
+    return (
+        _t(spark, sf_dir, "part")
+        .select(url.alias("url"))
+        .select("url", probe(F.xxhash64("url")).alias("maybe_seen"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # O15 — fetch-result consumer / payload validation (FetchResultConsumer.
 # scala:34-50, UserCode.scala:68-69): decode + PSNR/phash/caption checks over
 # a deterministically CORRUPTED image corpus (~20% truncated bytes or
