@@ -330,6 +330,43 @@ def bloom_fixture_bloom():
     return bf
 
 
+def image_dedup_corpus() -> pd.DataFrame:
+    """Shared by the image_exact_dedup query and its fixture: the T2_MULTI
+    image rows plus DETERMINISTIC byte-identical duplicates (every row whose
+    url-hash % 4 == 0 re-appears under url + '?mirror=1', same bytes) — two
+    crawls of the same image from different URLs, the exact-dedup case."""
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][["url", "bytes"]].reset_index(drop=True)
+    dup = pdf[
+        pdf["url"].map(lambda u: (xxhash64_str(u) & 0x7FFFFFFFFFFFFFFF) % 4 == 0)
+    ].copy()
+    dup["url"] = dup["url"] + "?mirror=1"
+    return pd.concat([pdf, dup], ignore_index=True)
+
+
+def build_image_exact_dedup() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.image_exact_dedup: hashlib.md5 + pandas
+    groupby (the query side is Spark's jvm md5 over the binary column +
+    groupBy — the entry certifies the two hash implementations and the
+    dedup shape agree)."""
+    import hashlib
+
+    pdf = image_dedup_corpus()
+    pdf["content_md5"] = pdf["bytes"].map(
+        lambda b: hashlib.md5(bytes(b)).hexdigest()
+    )
+    g = (
+        pdf.groupby("content_md5")
+        .agg(n_copies=("url", "size"), canonical_url=("url", "min"))
+        .reset_index()
+    )
+    return g[["content_md5", "canonical_url", "n_copies"]].astype(
+        {"content_md5": "object", "canonical_url": "object", "n_copies": "int64"}
+    )
+
+
 def cuckoo_fixture_filter():
     """The cuckoo used by BOTH the o4 query and its fixture: part keys
     divisible by 3 inserted (ascending key order — cuckoo eviction chains
@@ -666,6 +703,7 @@ BUILDERS = {
     "crawl_t1_micro": build_crawl_t1_micro,
     "o4_bloom_probe": build_bloom_probe,
     "o4_cuckoo_probe": build_cuckoo_probe,
+    "image_exact_dedup": build_image_exact_dedup,
     "o15_payload_validate": build_payload_validate,
     "near_dup_clusters": build_near_dup_clusters,
 }

@@ -1683,3 +1683,37 @@ def image_resize_stats(spark, sf_dir):
 
 QUERIES["image_resize_stats"] = image_resize_stats
 ORACLE["image_resize_stats"] = _fx("image_resize_stats")
+
+
+# ---------------------------------------------------------------------------
+# Image EXACT dedup by content hash — the md5-groupBy dedup a training
+# pipeline runs before the pHash NEAR-dup pass: byte-identical payloads
+# crawled from different URLs collapse to one canonical row.  Pure Catalyst
+# (jvm md5 over the binary column + groupBy on the 16-byte digest — the
+# classic 100-TB exact-dedup shape: shuffle keys are digests, never bytes);
+# the mirror recomputes with hashlib + pandas, so the entry certifies the
+# two md5s and the dedup shape agree.  Corpus: shared deterministic
+# duplicate construction (oracle_fixtures.image_dedup_corpus).
+# ---------------------------------------------------------------------------
+def image_exact_dedup(spark, sf_dir):
+    import pandas as pd
+
+    from .oracle_fixtures import image_dedup_corpus
+
+    pdf = image_dedup_corpus()
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    sdf = spark.createDataFrame(pdf.to_dict("records"), "url string, bytes binary")
+    return (
+        sdf.repartition(8)
+        .select("url", F.md5("bytes").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("url").alias("canonical_url"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("content_md5", "canonical_url", "n_copies")
+    )
+
+
+QUERIES["image_exact_dedup"] = image_exact_dedup
+ORACLE["image_exact_dedup"] = _fx("image_exact_dedup")

@@ -169,3 +169,19 @@ def test_image_resize_thumbnail_is_exact_integer(spark):
         want[url] = (int(thumb.astype(np.int64).sum()) * 1000) // int(thumb.size)
     got = dict(zip(out["url"], out["mean_luma_milli"]))
     assert got == want
+
+
+def test_image_exact_dedup_collapses_planted_duplicates(spark):
+    """Every planted byte-identical duplicate must land in its original's
+    md5 group (n_copies=2, canonical = the lexicographically smaller url);
+    everything else stays a singleton."""
+    from abwcf_spark.oracle_fixtures import image_dedup_corpus
+    from abwcf_spark.queries import image_exact_dedup
+
+    out = image_exact_dedup(spark, None).toPandas()
+    corpus = image_dedup_corpus()
+    n_dups = corpus["url"].str.endswith("?mirror=1").sum()
+    assert n_dups > 0, "fixture must plant duplicates"
+    assert len(out) == len(corpus) - n_dups  # one group per distinct payload
+    assert (out["n_copies"] == 2).sum() == n_dups
+    assert not out["canonical_url"].str.endswith("?mirror=1").any()
