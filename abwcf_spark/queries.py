@@ -1717,3 +1717,45 @@ def image_exact_dedup(spark, sf_dir):
 
 QUERIES["image_exact_dedup"] = image_exact_dedup
 ORACLE["image_exact_dedup"] = _fx("image_exact_dedup")
+
+
+# ---------------------------------------------------------------------------
+# BPE-style token counting — the pre-tokenizer shape LLM data pipelines run
+# for length filtering and training-mix budgeting: maximal runs of letters,
+# runs of digits, and single other-class characters (the class structure of
+# the GPT-2 pre-tokenizer, ASCII-classed so Spark's Java regex and the
+# oracle's RE2 agree — verified token-for-token on CJK/diacritic/empty edge
+# cases).  Pure Catalyst scan stage (JVM regexp_extract_all, no UDF, no
+# shuffle); the oracle is plain SQL — no constructed fixture, the strongest
+# gate form.  n_other = n_tokens - n_alpha - n_num: the classes partition
+# the combined pattern, and per-class counts equal the combined
+# tokenization's because maximal runs of disjoint classes can't merge.
+# ---------------------------------------------------------------------------
+_TOK_ALL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@q(
+    "token_counts_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                - len(regexp_extract_all(text, '[A-Za-z]+'))
+                - len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_other
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark, sf_dir):
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(_TOK_ALL), 0))
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0))
+    n_num = F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_num.cast("long").alias("n_num"),
+        (n_tokens - n_alpha - n_num).cast("long").alias("n_other"),
+    )
