@@ -45,6 +45,9 @@ Env knobs:
                        scaling probes (default 192000; a deterministic
                        part-file subset of the corpus)
   ABWCF_BENCH_BUCKETS  fixed frontier bucket count (default: adaptive)
+  ABWCF_BENCH_SEEN     URL-seen filter kind: bloom (default) | cuckoo
+                       (kernel A/B: cuckoo probes ~19x faster at ~80x
+                       lower fp but inserts ~1.7x slower — BASELINE.md)
   ABWCF_BENCH_CACHE    corpus cache dir          (default <repo>/.bench-cache)
   ABWCF_SERIAL_COMMIT  disable concurrent round-commit jobs (lap profiling)
 """
@@ -279,6 +282,7 @@ def run_crawl(cpus: int, paths: dict[str, str]) -> dict:
         crawler = SparkCrawler(
             spark, corpus, robots, BENCH_CFG,
             collect_metrics=False, use_bloom=True,
+            seen_filter=os.environ.get("ABWCF_BENCH_SEEN", "bloom"),
             bloom_capacity=1 << 22, n_salts=0,
             validate_payloads=True,
             # None → adaptive bucket count (compaction-time resize); the
