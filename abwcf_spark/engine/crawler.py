@@ -236,6 +236,8 @@ class SparkCrawler:
           ``payload_failures``.  Default (with validate_payloads=True): the
           image decode + PSNR/phash/caption validator.
         """
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo: {seen_filter}")
         self.spark = spark
         self.cfg = cfg
         self.corpus = corpus
@@ -266,8 +268,6 @@ class SparkCrawler:
         # append-only fast path; "cuckoo" (kernels/cuckoo_shards.py) adds
         # fingerprint DELETION at a slower insert rate — same no-false-
         # negative probe contract either way.
-        if seen_filter not in ("bloom", "cuckoo"):
-            raise ValueError(f"seen_filter must be bloom|cuckoo: {seen_filter}")
         _filter_cls = ShardedBloom if seen_filter == "bloom" else ShardedCuckoo
         self.bloom = (
             _filter_cls(os.path.join(self.work_dir, "bloom"), bloom_capacity,

@@ -44,6 +44,7 @@ import numpy as np
 import pandas as pd
 
 from .bloom import BloomFilter
+from .sharded_store import ShardedSeenStore
 
 # per-worker cache of immutable shard files, keyed on (path, mtime_ns, size):
 # versions are never rewritten (monotonic write counter), and the stat key
@@ -73,62 +74,34 @@ def _shard_view(words: np.ndarray, n_hashes: int) -> BloomFilter:
     return bf
 
 
-class ShardedBloom:
+class ShardedBloom(ShardedSeenStore):
+    KIND = "bloom"
     def __init__(self, directory: str, capacity: int, fpp: float = 0.01,
                  n_shards: int = 16):
-        self.dir = directory
-        self.n_shards = int(n_shards)
-        per_shard = max(int(capacity) // self.n_shards, 64)
+        per_shard = max(int(capacity) // int(n_shards), 64)
         proto = BloomFilter.for_capacity(per_shard, fpp)
         self.n_bits = proto.n_bits
         self.n_hashes = proto.n_hashes
         self.n_words = self.n_bits // 64
-        self.versions: dict[int, int] = {}   # shard -> write-counter version
-        self.n_added = 0
-        # monotonic write counter: every add/rebuild allocates a fresh value,
-        # so no shard path is ever written twice.  Synced past any on-disk
-        # versions (a crashed run's post-manifest writes would otherwise
-        # collide on resume).
-        self.wseq = self._disk_max_version()
-
-    def _disk_max_version(self) -> int:
-        mx = 0
-        if os.path.isdir(self.dir):
-            for ent in os.listdir(self.dir):
-                if not ent.startswith("shard="):
-                    continue
-                sd = os.path.join(self.dir, ent)
-                for f in os.listdir(sd):
-                    if f.startswith("v=") and f.endswith(".bin"):
-                        mx = max(mx, int(f[2:-4]))
-        return mx
+        # monotonic write counter, version map, prune keep-set semantics:
+        # shared with the cuckoo store (kernels/sharded_store.py) so the
+        # crash-safety invariants live in exactly one place
+        self._init_store(directory, n_shards)
 
     # ------------------------------------------------------------- metadata
     def to_manifest(self) -> dict:
         return dict(
-            n_shards=self.n_shards, n_bits=self.n_bits, n_hashes=self.n_hashes,
-            n_added=self.n_added, wseq=self.wseq,
-            versions={str(s): v for s, v in self.versions.items()},
+            self._manifest_common(), n_bits=self.n_bits, n_hashes=self.n_hashes,
         )
 
     @classmethod
     def from_manifest(cls, directory: str, m: dict) -> "ShardedBloom":
         sb = cls.__new__(cls)
-        sb.dir = directory
-        sb.n_shards = int(m["n_shards"])
         sb.n_bits = int(m["n_bits"])
         sb.n_hashes = int(m["n_hashes"])
         sb.n_words = sb.n_bits // 64
-        sb.versions = {int(s): int(v) for s, v in m["versions"].items()}
-        sb.n_added = int(m["n_added"])
-        # never reuse a version a crashed run may have written post-manifest
-        sb.wseq = max(int(m.get("wseq", 0)),
-                      max(sb.versions.values(), default=0),
-                      sb._disk_max_version())
+        sb._restore_common(directory, m)
         return sb
-
-    def _path(self, shard: int, version: int) -> str:
-        return os.path.join(self.dir, f"shard={shard:05d}", f"v={version:06d}.bin")
 
     # ------------------------------------------------------------- update
     def add_dataframe(self, df, hash_col: str) -> int:
@@ -213,22 +186,4 @@ class ShardedBloom:
         self.versions = {}
         self.n_added = 0
         return self.add_dataframe(frontier.select("url_hash"), "url_hash")
-
-    def prune(self, keep_versions: dict[int, set[int]] | None = None) -> None:
-        """Delete shard file versions not referenced by the current map nor
-        by ``keep_versions`` (the last manifested map) — called at
-        checkpoint time so a crash can never orphan a referenced version."""
-        keep_versions = keep_versions or {}
-        if not os.path.isdir(self.dir):
-            return
-        for ent in os.listdir(self.dir):
-            if not ent.startswith("shard="):
-                continue
-            shard = int(ent.split("=", 1)[1])
-            keep = {self.versions.get(shard)} | set(keep_versions.get(shard, ()))
-            sd = os.path.join(self.dir, ent)
-            for f in os.listdir(sd):
-                if f.startswith("v=") and f.endswith(".bin"):
-                    v = int(f[2:-4])
-                    if v not in keep:
-                        os.unlink(os.path.join(sd, f))
+    # prune() inherited from ShardedSeenStore

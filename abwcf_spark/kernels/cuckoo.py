@@ -61,7 +61,11 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.max_kicks = int(max_kicks)
         self.table = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
-        self.stash: list[int] = []  # raw signed-64 keys that overflowed
+        # overflow stash: synthetic (bucket << 16) | fingerprint records —
+        # NOT original keys (the homeless entry after a failed eviction
+        # chain is some earlier key's fingerprint whose origin is unknown);
+        # might_contain/remove_hashes decode them as (bucket, fp) pairs
+        self.stash: list[int] = []
         self.n_added = 0
 
     @classmethod

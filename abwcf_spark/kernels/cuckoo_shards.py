@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 
 from .cuckoo import CuckooFilter
+from .sharded_store import ShardedSeenStore
 
 _FILTER_CACHE: OrderedDict[tuple, "CuckooFilter"] = OrderedDict()
 _FILTER_CACHE_MAX = 64
@@ -47,56 +48,29 @@ def _load_filter(path: str) -> CuckooFilter:
     return cf
 
 
-class ShardedCuckoo:
+class ShardedCuckoo(ShardedSeenStore):
     KIND = "cuckoo"
 
     def __init__(self, directory: str, capacity: int, fpp: float = 0.01,
                  n_shards: int = 16):
         # fpp accepted for interface parity; the 16-bit-fingerprint 4-way
         # table's bound (~1.2e-4) is far below any fpp a bloom would get
-        self.dir = directory
-        self.n_shards = int(n_shards)
-        self.per_shard_capacity = max(int(capacity) // self.n_shards, 64)
-        self.versions: dict[int, int] = {}
-        self.n_added = 0
-        self.wseq = self._disk_max_version()
-
-    def _disk_max_version(self) -> int:
-        mx = 0
-        if os.path.isdir(self.dir):
-            for ent in os.listdir(self.dir):
-                if not ent.startswith("shard="):
-                    continue
-                sd = os.path.join(self.dir, ent)
-                for f in os.listdir(sd):
-                    if f.startswith("v=") and f.endswith(".bin"):
-                        mx = max(mx, int(f[2:-4]))
-        return mx
+        self.per_shard_capacity = max(int(capacity) // int(n_shards), 64)
+        self._init_store(directory, n_shards)
 
     # ------------------------------------------------------------- metadata
     def to_manifest(self) -> dict:
         return dict(
-            kind=self.KIND, n_shards=self.n_shards,
+            self._manifest_common(),
             per_shard_capacity=self.per_shard_capacity,
-            n_added=self.n_added, wseq=self.wseq,
-            versions={str(s): v for s, v in self.versions.items()},
         )
 
     @classmethod
     def from_manifest(cls, directory: str, m: dict) -> "ShardedCuckoo":
         sc = cls.__new__(cls)
-        sc.dir = directory
-        sc.n_shards = int(m["n_shards"])
         sc.per_shard_capacity = int(m["per_shard_capacity"])
-        sc.versions = {int(s): int(v) for s, v in m["versions"].items()}
-        sc.n_added = int(m["n_added"])
-        sc.wseq = max(int(m.get("wseq", 0)),
-                      max(sc.versions.values(), default=0),
-                      sc._disk_max_version())
+        sc._restore_common(directory, m)
         return sc
-
-    def _path(self, shard: int, version: int) -> str:
-        return os.path.join(self.dir, f"shard={shard:05d}", f"v={version:06d}.bin")
 
     # ------------------------------------------------------------- update
     def _apply_dataframe(self, df, hash_col: str, op: str) -> int:
@@ -115,6 +89,13 @@ class ShardedCuckoo:
             shard = int(key[0])
             hashes = pdf["_h"].to_numpy(dtype=np.int64)
             cur = versions.get(shard)
+            if cur is None and op == "remove":
+                # never-written shard: nothing to remove, and writing an
+                # empty filter would defeat the probe's "no version →
+                # provably never inserted" short-circuit
+                return pd.DataFrame({"shard": [], "n": []}).astype(
+                    {"shard": "int32", "n": "int64"}
+                )
             if cur is not None:
                 path = os.path.join(directory, f"shard={shard:05d}",
                                     f"v={cur:06d}.bin")
@@ -192,19 +173,4 @@ class ShardedCuckoo:
         self.versions = {}
         self.n_added = 0
         return self.add_dataframe(frontier.select("url_hash"), "url_hash")
-
-    def prune(self, keep_versions: dict[int, set[int]] | None = None) -> None:
-        keep_versions = keep_versions or {}
-        if not os.path.isdir(self.dir):
-            return
-        for ent in os.listdir(self.dir):
-            if not ent.startswith("shard="):
-                continue
-            shard = int(ent.split("=", 1)[1])
-            keep = {self.versions.get(shard)} | set(keep_versions.get(shard, ()))
-            sd = os.path.join(self.dir, ent)
-            for f in os.listdir(sd):
-                if f.startswith("v=") and f.endswith(".bin"):
-                    v = int(f[2:-4])
-                    if v not in keep:
-                        os.unlink(os.path.join(sd, f))
+    # prune() inherited from ShardedSeenStore

@@ -368,11 +368,15 @@ def build_image_exact_dedup() -> pd.DataFrame:
 
 
 def cuckoo_fixture_filter():
-    """The cuckoo used by BOTH the o4 query and its fixture: part keys
-    divisible by 3 inserted (ascending key order — cuckoo eviction chains
-    make the table order-sensitive, so both sides must insert identically),
-    then keys divisible by 9 DELETED — the capability the bloom lacks and
-    the reason this entry exists alongside o4_bloom_probe."""
+    """Fixture-side cuckoo: part keys divisible by 3 inserted (ascending
+    key order — cuckoo eviction chains make the table order-sensitive, so
+    both sides must insert identically), then keys divisible by 9 DELETED —
+    the capability the bloom lacks and the reason this entry exists
+    alongside o4_bloom_probe.  queries.o4_cuckoo_probe INTENTIONALLY
+    mirrors this construction line-for-line from its own sf_dir (same
+    split as o4_bloom_probe vs bloom_fixture_bloom): the query builds from
+    the gate's table argument, the fixture from the pinned sf0.01 copy —
+    edits must change both or the hash gate fails."""
     from .kernels.cuckoo import CuckooFilter
 
     part = _read_sf001("part")

@@ -1725,24 +1725,28 @@ ORACLE["image_exact_dedup"] = _fx("image_exact_dedup")
 # runs of digits, and single other-class characters (the class structure of
 # the GPT-2 pre-tokenizer, ASCII-classed so Spark's Java regex and the
 # oracle's RE2 agree — verified token-for-token on CJK/diacritic/empty edge
-# cases).  Pure Catalyst scan stage (JVM regexp_extract_all, no UDF, no
-# shuffle); the oracle is plain SQL — no constructed fixture, the strongest
-# gate form.  n_other = n_tokens - n_alpha - n_num: the classes partition
-# the combined pattern, and per-class counts equal the combined
-# tokenization's because maximal runs of disjoint classes can't merge.
+# cases).  The whitespace class is spelled EXPLICITLY rather than \s:
+# Java's \s includes \x0B (vertical tab) while RE2's does not, so a
+# \s-based pattern would silently disagree between the Spark query and the
+# DuckDB oracle on any text containing \x0B.  Pure Catalyst scan stage
+# (JVM regexp_extract_all, no UDF, no shuffle); the oracle is plain SQL —
+# no constructed fixture, the strongest gate form.  n_other = n_tokens -
+# n_alpha - n_num: the classes partition the combined pattern, and
+# per-class counts equal the combined tokenization's because maximal runs
+# of disjoint classes can't merge.
 # ---------------------------------------------------------------------------
-_TOK_ALL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_TOK_ALL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 @q(
     "token_counts_bpe",
     r"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))
                 AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))
                 - len(regexp_extract_all(text, '[A-Za-z]+'))
                 - len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_other
     FROM documents
