@@ -257,7 +257,15 @@ class SparkCrawler:
         resolved = resolve_robots_redirects(robots_corpus)
         if resolved is not robots_corpus:
             rdir = os.path.join(self.work_dir, "robots_resolved")
-            if not os.path.isdir(rdir):  # resume: reuse the existing copy
+            # resume reuses the existing copy ONLY when the _SUCCESS marker
+            # proves the initial write committed — a kill mid-init leaves a
+            # partial directory, and silently reading it would drop hosts
+            # (which then fail-open through the lenient filter)
+            if os.path.isdir(rdir) and not os.path.isfile(
+                os.path.join(rdir, "_SUCCESS")
+            ):
+                shutil.rmtree(rdir)
+            if not os.path.isdir(rdir):
                 resolved.write.parquet(rdir)
             resolved = spark.read.parquet(rdir)
         self.robots_corpus = resolved
@@ -1031,20 +1039,32 @@ class SparkCrawler:
             if not f.startswith("_") and not f.endswith(".crc")
         )
 
-    @staticmethod
-    def _leaf_rows(paths: list[str]) -> int:
+    def _leaf_rows(self, paths: list[str]) -> int:
         """Exact row count from parquet footers (driver-local metadata read
-        — the analogue of an Iceberg manifest's per-file record counts)."""
+        — the analogue of an Iceberg manifest's per-file record counts).
+        Leaf dirs are immutable once written (versioned per round), so
+        per-leaf counts are memoized: the major-bucket selection asks about
+        every live bucket each pass, and at adaptive bucket counts up to
+        65536 re-walking footers per call would be an O(buckets × files)
+        serial driver term inside the commit path."""
         import pyarrow.parquet as pq
 
+        memo = getattr(self, "_leaf_rows_memo", None)
+        if memo is None:
+            memo = self._leaf_rows_memo = {}
         total = 0
         for p in paths:
-            for root, _, files in os.walk(p):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        total += pq.ParquetFile(
-                            os.path.join(root, f)
-                        ).metadata.num_rows
+            n = memo.get(p)
+            if n is None:
+                n = 0
+                for root, _, files in os.walk(p):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n += pq.ParquetFile(
+                                os.path.join(root, f)
+                            ).metadata.num_rows
+                memo[p] = n
+            total += n
         return total
 
     def _read_leaves(self, paths: list[str]) -> DataFrame:
@@ -1141,6 +1161,17 @@ class SparkCrawler:
                     _time.time() - _t, 3
                 )
                 return
+            elif rec is not None:
+                # a partial major that wrote no bucket dirs would silently
+                # drop the major buckets' live delta rows (the rebuilt
+                # chains below only carry minor buckets) — unreachable
+                # while rec's inputs are non-empty, so fail loudly rather
+                # than rely on that implicit invariant
+                raise RuntimeError(
+                    "partial major compaction wrote no bucket dirs to "
+                    f"{base_dir} from non-empty inputs "
+                    f"({len(data_paths)} data / {len(upd_paths)} upd leaves)"
+                )
         new_ins: list[str] = []
         new_upd: list[str] = []
         if minor:

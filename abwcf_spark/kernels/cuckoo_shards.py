@@ -104,6 +104,13 @@ class ShardedCuckoo(ShardedSeenStore):
             else:
                 cf = CuckooFilter.for_capacity(cap)
             if op == "add":
+                # dedup before insert: CuckooFilter.add_hashes stores a
+                # fingerprint PER CALL, so repeated keys in one batch would
+                # inflate the load factor and need matching repeated
+                # removes.  np.unique also sorts, making per-shard insert
+                # order (and thus eviction chains) deterministic regardless
+                # of upstream partition order.
+                hashes = np.unique(hashes)
                 cf.add_hashes(hashes)
                 n = len(hashes)
             else:

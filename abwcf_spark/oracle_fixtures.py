@@ -915,19 +915,57 @@ BUILDERS["phash_near_dup_pairs"] = build_phash_near_dup
 IVF_K = 16
 IVF_PROBES = 4
 IVF_TOPK = 20
+IVF_ITERS = 2  # fixed Lloyd iterations; recall plateaus here on the fixture
+
+
+def _half_up_div(a: int, n: int) -> int:
+    """round-half-away-from-zero of a/n (the rule both engines implement
+    for the integer-micro centroid means — matches Spark ROUND semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int((Decimal(a) / Decimal(n)).quantize(Decimal(1),
+                                                  rounding=ROUND_HALF_UP))
+
+
+def mirror_ivf_centroids(recs) -> list[list[float]]:
+    """Deterministic Lloyd refinement, pure-python mirror: seed with the
+    IVF_K lowest-vec_id vectors, then IVF_ITERS rounds of (argmax-cosine
+    assignment, tie → larger cell) + integer-MICRO means — each component
+    is HALF_UP(x·1e6) summed exactly as ints, divided half-up by the
+    member count, back to double as micros/1e6.  Integer sums are
+    order-independent, so any engine (here: Spark's distributed
+    per-(cell,dim) long sums) reproduces the same centroids bit-exactly.
+    Empty cells keep their previous centroid."""
+    cents = [e for _, e in recs[:IVF_K]]
+    dim = len(cents[0])
+    for _ in range(IVF_ITERS):
+        sums: dict[int, list[int]] = {}
+        cnt: dict[int, int] = {}
+        for _vid, e in recs:
+            c = max((cosine(e, cv), ci) for ci, cv in enumerate(cents))[1]
+            cnt[c] = cnt.get(c, 0) + 1
+            acc = sums.setdefault(c, [0] * dim)
+            for d, x in enumerate(e):
+                acc[d] += int(spark_round(float(x) * 1e6, 0))
+        cents = [
+            [_half_up_div(sums[c][d], cnt[c]) / 1e6 for d in range(dim)]
+            if c in cnt else cents[c]
+            for c in range(IVF_K)
+        ]
+    return cents
 
 
 def build_ann_ivf() -> pd.DataFrame:
-    """Mirror of queries.embedding_ann_ivf: cell assignment = argmax cosine
-    over the IVF_K centroid vectors (ties → larger cell id, matching
-    array_max's lexicographic struct order), probe the IVF_PROBES cells
-    nearest the query, exact fold-order cosine re-rank of the probed
-    cells' members."""
+    """Mirror of queries.embedding_ann_ivf: Lloyd-refined centroids
+    (mirror_ivf_centroids), cell assignment = argmax cosine (ties → larger
+    cell id, matching array_max's lexicographic struct order), probe the
+    IVF_PROBES cells nearest the query, exact fold-order cosine re-rank of
+    the probed cells' members."""
     emb = _read_sf001("embeddings")
     recs = sorted(
         (int(v), [float(x) for x in e]) for v, e in zip(emb.vec_id, emb.embedding)
     )
-    cents = [e for _, e in recs[:IVF_K]]
+    cents = mirror_ivf_centroids(recs)
 
     def cell_of(e) -> int:
         return max((cosine(e, cv), c) for c, cv in enumerate(cents))[1]
@@ -989,6 +1027,70 @@ def build_image_resize() -> pd.DataFrame:
 
 
 BUILDERS["image_resize_stats"] = build_image_resize
+
+
+# --------------------------------------------------------------------------
+# Passage/substring-level dedup: repeated SPANS across documents
+# (boilerplate, licenses, templated paragraphs) that doc-level Jaccard
+# scores below threshold.  Reuses the winnowing tuning (WINNOW_K char
+# grams, WINNOW_W windows); a span is the merge of the char intervals
+# covered by fingerprint windows whose fingerprint appears in >= 2
+# distinct documents.
+# --------------------------------------------------------------------------
+
+SPAN_MIN_LEN = 20  # emitted spans must cover at least this many chars
+
+
+def mirror_dup_spans(doc_texts) -> list[tuple[int, int, int]]:
+    """Pure-python mirror of queries.dup_spans over (doc_id, text) pairs:
+    winnowing fingerprints with window positions, cross-doc shared set,
+    per-doc interval merge.  Shared by the gate fixture (sf0.01 documents)
+    and the constructed-span unit tests."""
+    L = WINNOW_W + WINNOW_K - 2  # a window at gram j covers chars [j, j+L]
+    per_doc: dict[int, list[int]] = {}
+    fp_docs: dict[int, set[int]] = {}
+    for doc_id, text in doc_texts:
+        n = len(text)
+        if n < WINNOW_K + WINNOW_W - 1:
+            continue
+        grams = [
+            xxhash64_str(text[i : i + WINNOW_K]) for i in range(n - WINNOW_K + 1)
+        ]
+        wins = [
+            min(grams[j : j + WINNOW_W])
+            for j in range(len(grams) - WINNOW_W + 1)
+        ]
+        per_doc[int(doc_id)] = wins
+        for fp in set(wins):
+            fp_docs.setdefault(fp, set()).add(int(doc_id))
+    shared = {fp for fp, ds in fp_docs.items() if len(ds) >= 2}
+    rows = []
+    for doc_id in sorted(per_doc):
+        spans: list[list[int]] = []
+        for j, fp in enumerate(per_doc[doc_id]):
+            if fp not in shared:
+                continue
+            if spans and j <= spans[-1][1] + 1:
+                spans[-1][1] = j + L
+            else:
+                spans.append([j, j + L])
+        for s, e in spans:
+            if e - s + 1 >= SPAN_MIN_LEN:
+                rows.append((doc_id, s, e - s + 1))
+    return rows
+
+
+def build_dup_spans() -> pd.DataFrame:
+    docs = _read_sf001("documents")
+    rows = mirror_dup_spans(
+        (int(d), str(t)) for d, t in zip(docs.doc_id, docs.text)
+    )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "span_start", "span_len"]
+    ).astype({"doc_id": "int64", "span_start": "int64", "span_len": "int64"})
+
+
+BUILDERS["dup_span_extract"] = build_dup_spans
 
 
 if __name__ == "__main__":

@@ -1242,6 +1242,79 @@ ORACLE["doc_fingerprint_winnow"] = _fx("doc_fingerprint_winnow")
 
 
 # ---------------------------------------------------------------------------
+# Passage/substring-level dedup (the training-data gap doc-level dedup
+# leaves open): extract the repeated SPANS — boilerplate, licenses,
+# templated paragraphs — that cross-document near-dup scoring misses when
+# the documents as a whole sit below the Jaccard threshold.  Builds on the
+# winnowing fingerprints above, kept WITH their window positions:
+#   1. posexplode window minima → (doc_id, j, fingerprint);
+#   2. a fingerprint is SHARED if >= 2 distinct docs contain it (one
+#      groupBy count — per-fingerprint aggregation, NOT a pair join);
+#   3. per doc, merge the char intervals [j, j+W+K-2] of its shared-
+#      fingerprint windows (sort_array + a Catalyst `aggregate` fold —
+#      per-row array work, no UDF) and emit merged spans >= SPAN_MIN_LEN.
+# 100-TB shape: two keyed shuffles (fingerprint agg, doc_id agg) and one
+# equi-join on fingerprint; there is NO doc×doc product anywhere — span
+# extraction only needs the per-fingerprint "shared" boolean, so the cost
+# is linear in corpus size (plan-pinned in tests/test_plans.py).  Oracle:
+# constructed fixture (oracle_fixtures.mirror_dup_spans), also exercised
+# on constructed overlapping-boilerplate docs in tests/test_queries_text.py.
+# ---------------------------------------------------------------------------
+def dup_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, span_start, span_len) repeated-span list."""
+    from .oracle_fixtures import SPAN_MIN_LEN, WINNOW_K, WINNOW_W
+
+    L = WINNOW_W + WINNOW_K - 2  # window at gram j covers chars [j, j+L]
+    grams = (
+        f"transform(sequence(0, length(text) - {WINNOW_K}), "
+        f"i -> xxhash64(substr(text, i + 1, {WINNOW_K})))"
+    )
+    wins = (
+        f"transform(sequence(0, size(_grams) - {WINNOW_W}), "
+        f"j -> array_min(slice(_grams, j + 1, {WINNOW_W})))"
+    )
+    pos = (
+        docs.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .withColumn("_grams", F.expr(grams))
+        .select("doc_id", F.posexplode(F.expr(wins)).alias("j", "fingerprint"))
+    )
+    shared = (
+        pos.select("doc_id", "fingerprint")
+        .distinct()
+        .groupBy("fingerprint")
+        .count()
+        .where(F.col("count") >= 2)
+        .select("fingerprint")
+    )
+    merge = (
+        "aggregate(js, CAST(array() AS array<struct<s: bigint, e: bigint>>), "
+        "(acc, j) -> IF(size(acc) > 0 AND j <= element_at(acc, -1).e + 1, "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', element_at(acc, -1).s, "
+        f"'e', CAST(j + {L} AS BIGINT)))), "
+        f"concat(acc, array(named_struct('s', CAST(j AS BIGINT), "
+        f"'e', CAST(j + {L} AS BIGINT))))))"
+    )
+    return (
+        pos.join(shared, "fingerprint")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("j")).alias("js"))
+        .select("doc_id", F.explode(F.expr(merge)).alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.s").alias("span_start"),
+            (F.col("sp.e") - F.col("sp.s") + 1).alias("span_len"),
+        )
+        .where(F.col("span_len") >= SPAN_MIN_LEN)
+    )
+
+
+@q("dup_span_extract", _fx("dup_span_extract"))
+def dup_span_extract(spark, sf_dir):
+    return dup_spans(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature extraction: decode opaque image bytes and emit typed
 # features (dimensions, mean luminance, perceptual hash) — the image-side
 # analogue of the text-quality signals, running the same Arrow-batched

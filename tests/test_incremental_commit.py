@@ -303,7 +303,7 @@ def test_selective_compaction_rewrites_subset(spark, tmp_path):
                 new_base_buckets=sorted(
                     b for p in new_bases for b in SparkCrawler._bucket_dirs(p)
                 ),
-                new_base_rows=SparkCrawler._leaf_rows(new_bases),
+                new_base_rows=a._leaf_rows(new_bases),
             ))
 
     a._maybe_compact = spy

@@ -259,3 +259,14 @@ def test_embedding_ann_ivf_is_joinless_scan(spark):
     p = plan(embedding_ann_ivf(spark, _sf_dir("0.01")))
     assert "Join" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_dup_spans_no_pair_join(spark):
+    """Span-level dedup must stay linear: one equi-join on fingerprint and
+    keyed aggregations — never a doc×doc cartesian/nested-loop product,
+    and no window over an unpartitioned key."""
+    from abwcf_spark.queries import dup_span_extract
+
+    p = plan(dup_span_extract(spark, _sf_dir("0.01")))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "posexplode" in p or "Generate" in p, p

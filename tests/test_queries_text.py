@@ -23,3 +23,48 @@ def test_token_counts_bpe_partitions_and_matches_python(spark):
     pat = re.compile(_TOK_ALL)
     for doc_id, text in zip(docs.doc_id[:50], docs.text[:50]):
         assert out.loc[int(doc_id), "n_tokens"] == len(pat.findall(text))
+
+
+def test_dup_spans_constructed_boilerplate(spark):
+    """Span-level dedup on constructed docs: two documents share a long
+    boilerplate paragraph (below doc-level Jaccard threshold vs their
+    distinct bodies), a third is built from a disjoint alphabet.  The
+    extracted spans must equal the independent python mirror's, cover the
+    shared paragraph in both carriers, and never mention the clean doc."""
+    from abwcf_spark.oracle_fixtures import mirror_dup_spans
+    from abwcf_spark.queries import dup_spans
+
+    boiler = (
+        "This document is provided under the Example Public License v1. "
+        "Redistribution and use in source and binary forms are permitted."
+    )
+    body1 = "alpha bravo charlie delta echo foxtrot golf hotel india " * 6
+    body2 = "kilo lima mike november oscar papa quebec romeo sierra " * 6
+    clean = "0123456789" * 40  # digits only: no 8-gram overlaps the others
+    docs = [(1, boiler + " " + body1), (2, boiler + " " + body2), (3, clean)]
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dup_spans(sdf).collect()
+    )
+    want = sorted(mirror_dup_spans(docs))
+    assert got == want
+    assert got, "shared boilerplate must produce spans"
+    by_doc = {d for d, _, _ in got}
+    assert 1 in by_doc and 2 in by_doc and 3 not in by_doc
+    # the span starting at the paragraph head covers (at least) the
+    # paragraph body minus the window tail
+    for doc in (1, 2):
+        s0 = [(s, n) for d, s, n in got if d == doc and s == 0]
+        assert s0 and s0[0][1] >= len(boiler) - 11
+
+
+def test_dup_spans_no_cross_doc_sharing_is_empty(spark):
+    """Docs with pairwise-disjoint alphabets share no fingerprints →
+    no spans at all (within-doc repetition alone must NOT create spans)."""
+    from abwcf_spark.queries import dup_spans
+
+    docs = [(1, "abcdefgh" * 30), (2, "ijklmnop" * 30), (3, "qrstuvwx" * 30)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    assert dup_spans(sdf).count() == 0
