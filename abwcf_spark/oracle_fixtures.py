@@ -905,6 +905,70 @@ def build_phash_near_dup() -> pd.DataFrame:
 BUILDERS["phash_near_dup_pairs"] = build_phash_near_dup
 
 
+def phash_chain_corpus() -> pd.DataFrame:
+    """(image_id, bytes) input shared by the decode-chain query and its
+    mirror: every decodable T2 image, plus — for the xxhash-selected third
+    of ids — a 're-capture' variant re-encoded from the same pixels in the
+    NEXT lossy format (a second crawl of the same image: decoded pixels
+    differ slightly, phash 0-1 bits apart)."""
+    from .kernels.imagecodec import encode_image, gen_pixels
+    from .testing.corpus import FMTS, T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][
+        ["image_id", "bytes", "w", "h", "fmt"]
+    ].reset_index(drop=True)
+    rows = [(str(i), bytes(b)) for i, b in zip(pdf.image_id, pdf.bytes)]
+    for _, r in pdf.iterrows():
+        iid = str(r.image_id)
+        if xxhash64_str(f"phchain|{iid}") % 3 != 0:
+            continue
+        fmt2 = FMTS[(FMTS.index(str(r.fmt)) + 1) % len(FMTS)]
+        px = gen_pixels(iid, int(r.w), int(r.h))
+        rows.append((f"{iid}~r", encode_image(px, fmt2)))
+    return pd.DataFrame(rows, columns=["image_id", "bytes"]).astype(
+        {"image_id": "object", "bytes": "object"}
+    )
+
+
+def build_phash_chain() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.phash_bytes_chain_pairs: every hash
+    recomputed from the same bytes via the independent decoder
+    (mirror_decode + _mirror_phash — NOT the engine codec), then brute-
+    force O(n²) popcount.  Asserts the band-bucket cap never binds and
+    that re-encode variants actually produce pairs."""
+    from collections import Counter
+
+    pdf = phash_chain_corpus()
+    recs = []
+    for iid, data in zip(pdf.image_id, pdf.bytes):
+        try:
+            px = mirror_decode(bytes(data))
+        except ValueError:
+            continue
+        recs.append((str(iid), _phash_u(_mirror_phash(px))))
+    cnt = Counter(
+        (b, (u >> (16 * b)) & 0xFFFF) for _, u in recs for b in range(PHASH_BANDS)
+    )
+    assert max(cnt.values()) <= PHASH_BUCKET_CAP, "bucket cap binds; fixture invalid"
+    rows = []
+    for x in range(len(recs)):
+        ia, ua = recs[x]
+        for y in range(x + 1, len(recs)):
+            ib, ub = recs[y]
+            ham = bin(ua ^ ub).count("1")
+            if ham <= PHASH_MAX_HAMMING:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                rows.append((a, b, ham))
+    assert rows, "no chain near-dup pairs; fixture invalid"
+    return pd.DataFrame(rows, columns=["image_a", "image_b", "hamming"]).astype(
+        {"image_a": "object", "image_b": "object", "hamming": "int64"}
+    )
+
+
+BUILDERS["phash_bytes_chain_pairs"] = build_phash_chain
+
+
 # --------------------------------------------------------------------------
 # IVF ANN (coarse-quantizer cells + multi-cell probe): shared tuning +
 # mirror.  Centroids are the IVF_K lowest-vec_id vectors (deterministic,
@@ -991,6 +1055,45 @@ def build_ann_ivf() -> pd.DataFrame:
 
 
 BUILDERS["embedding_ann_ivf"] = build_ann_ivf
+
+
+def build_ann_ivf_batch() -> pd.DataFrame:
+    """Mirror of queries.embedding_ann_ivf_batch: lowest-vec_id query
+    table, per-query probe = IVF_PROBES cells by (cosine desc, cell asc),
+    candidates = corpus vectors whose refined-centroid cell is probed,
+    exact fold-order cosine re-rank per query."""
+    emb = _read_sf001("embeddings")
+    recs = sorted(
+        (int(v), [float(x) for x in e]) for v, e in zip(emb.vec_id, emb.embedding)
+    )
+    cents = mirror_ivf_centroids(recs)
+    cell = {
+        vid: max((cosine(e, cv), c) for c, cv in enumerate(cents))[1]
+        for vid, e in recs
+    }
+    by_vid = dict(recs)
+    rows = []
+    for qid, qv in recs[:ANN_BATCH_QUERIES]:
+        order = sorted(
+            ((cosine(qv, cv), c) for c, cv in enumerate(cents)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe = {c for _, c in order[:IVF_PROBES]}
+        cand = [
+            (vid, spark_round(cosine(by_vid[vid], qv)))
+            for vid, _ in recs
+            if vid != qid and cell[vid] in probe
+        ]
+        cand.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (vid, cs) in enumerate(cand[:ANN_BATCH_TOPK], start=1):
+            rows.append((qid, vid, cs, rank))
+    return pd.DataFrame(
+        rows, columns=["q_id", "vec_id", "cos_sim", "rank"]
+    ).astype({"q_id": "int64", "vec_id": "int64", "cos_sim": "float64",
+              "rank": "int32"})
+
+
+BUILDERS["embedding_ann_ivf_batch"] = build_ann_ivf_batch
 
 
 def build_image_resize() -> pd.DataFrame:

@@ -1576,19 +1576,16 @@ def topk_per_source(spark, sf_dir):
 # pigeonhole guarantee is lossless and the fixture asserts the cap never
 # binds at fixture scale.
 # ---------------------------------------------------------------------------
-@q("phash_near_dup_pairs", _fx("phash_near_dup_pairs"))
-def phash_near_dup_pairs(spark, sf_dir):
+def _phash_banded_pairs(sdf: DataFrame) -> DataFrame:
+    """(image_id, phash) → near-dup pairs via the banded self-join described
+    above — shared by the precomputed-hash entry and the decode-from-bytes
+    chain entry."""
     from .oracle_fixtures import (
         PHASH_BANDS,
         PHASH_BUCKET_CAP,
         PHASH_MAX_HAMMING,
-        phash_corpus,
     )
 
-    pdf = phash_corpus()
-    sdf = spark.createDataFrame(
-        pdf.to_dict("records"), "image_id string, phash long"
-    ).repartition(8)
     bands = F.explode(
         F.array(*[
             F.struct(
@@ -1629,6 +1626,53 @@ def phash_near_dup_pairs(spark, sf_dir):
     )
 
 
+@q("phash_near_dup_pairs", _fx("phash_near_dup_pairs"))
+def phash_near_dup_pairs(spark, sf_dir):
+    from .oracle_fixtures import phash_corpus
+
+    pdf = phash_corpus()
+    sdf = spark.createDataFrame(
+        pdf.to_dict("records"), "image_id string, phash long"
+    ).repartition(8)
+    return _phash_banded_pairs(sdf)
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup from BYTES — the full image near-dup CHAIN, end-to-end:
+# decode the opaque payload with the engine codec (column-pruned Arrow
+# mapInPandas, the same kernel the crawl's payload validator runs), compute
+# phash64 from the decoded pixels, then the banded self-join above.  The
+# precomputed-hash entry certifies the join; THIS entry certifies that the
+# engine's decode → hash stage feeds it correctly: the oracle mirror
+# recomputes every hash from the same bytes through the INDEPENDENT decoder
+# (oracle_fixtures.mirror_decode + _mirror_phash) and brute-force popcounts
+# all pairs.  Input: the shared T2 image corpus plus deterministic
+# re-encoded "second crawl" variants (same pixels, different lossy format
+# → hashes 0-1 bits apart).  100-TB shape: decode is map-only over pruned
+# (id, bytes) columns; the join shuffles 16-byte (band, bval) keys, never
+# payload bytes.
+# ---------------------------------------------------------------------------
+@q("phash_bytes_chain_pairs", _fx("phash_bytes_chain_pairs"))
+def phash_bytes_chain_pairs(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.udfs import IMAGE_STATS_SCHEMA, image_stats_batches
+    from .oracle_fixtures import phash_chain_corpus
+
+    pdf = phash_chain_corpus()
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    sdf = spark.createDataFrame(
+        pdf.rename(columns={"image_id": "url"}).to_dict("records"),
+        "url string, bytes binary",
+    )
+    hashed = (
+        sdf.repartition(8)
+        .mapInPandas(image_stats_batches, IMAGE_STATS_SCHEMA)
+        .select(F.col("url").alias("image_id"), "phash")
+    )
+    return _phash_banded_pairs(hashed)
+
+
 # ---------------------------------------------------------------------------
 # ANN scale path #2: IVF (inverted-file) coarse quantization — the
 # complement of the LSH variant above.  Every vector is assigned to the
@@ -1638,23 +1682,101 @@ def phash_near_dup_pairs(spark, sf_dir):
 # with cell-partitioned layout the probe prunes the scan to ~P/K of the
 # corpus vs LSH's fixed-radius Hamming buckets — IVF trades its recall
 # knob (n_probes) for partition pruning, which is why production ANN
-# (FAISS IVF-Flat) prefers it for disk-resident corpora.  Centroids are
-# the IVF_K lowest-vec_id vectors: deterministic and aggregation-free
-# (a k-means refinement would need order-stable float averaging to stay
-# reproducible across engines).  Oracle: constructed fixture
-# (oracle_fixtures.build_ann_ivf) mirroring fold order, the lexicographic
-# argmax tie-break, and HALF_UP rounding.
+# (FAISS IVF-Flat) prefers it for disk-resident corpora.
+#
+# Centroids: IVF_K lowest-vec_id seeds refined by IVF_ITERS DETERMINISTIC
+# Lloyd iterations — assignment is the argmax-cosine map above; the update
+# step sums each component as an integer MICRO (HALF_UP(x·1e6) as long —
+# exact, order-independent, so the distributed sum equals any sequential
+# mirror bit-for-bit) per (cell, dim) and divides half-away-from-zero by
+# the member count on the driver (K·dim values — constant collect).  This
+# is the standard distributed k-means shape: per-iteration cost is one
+# map-side-combined aggregation over the corpus.  Recall@20 vs the brute
+# baseline is measured in tests/test_queries.py (mean over 50 queries) and
+# recorded in BASELINE.md.  Oracle: constructed fixture (oracle_fixtures.
+# build_ann_ivf) mirroring fold order, the lexicographic argmax tie-break,
+# the integer-micro centroid means, and HALF_UP rounding.
 # ---------------------------------------------------------------------------
+def _ivf_dot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v_: acc + v_,
+    )
+
+
+def _ivf_cos_to(cv):
+    e = F.col("embedding")
+    lit = F.lit(cv)
+    return _ivf_dot(e, lit) / (
+        F.sqrt(_ivf_dot(e, e)) * F.sqrt(_ivf_dot(lit, lit))
+    )
+
+
+def _ivf_assign_expr(cent_vecs):
+    """argmax cosine via array_max over (cs, c) structs: lexicographic
+    struct order ⇒ ties break to the larger cell id (mirror matches)."""
+    return F.array_max(
+        F.array(*[
+            F.struct(_ivf_cos_to(cv).alias("cs"), F.lit(c).alias("c"))
+            for c, cv in enumerate(cent_vecs)
+        ])
+    ).getField("c")
+
+
+def _ivf_half_up_div(a: int, n: int) -> int:
+    """round-half-away-from-zero of a/n in pure integer arithmetic (the
+    documented centroid-mean rule; the mirror implements it independently
+    via Decimal quantize)."""
+    return (2 * a + n) // (2 * n) if a >= 0 else -((2 * (-a) + n) // (2 * n))
+
+
+def _ivf_centroids(emb: DataFrame) -> tuple[list, list[list[float]]]:
+    """Seed rows (lowest vec_ids) + Lloyd-refined centroid vectors.
+    Each iteration: one distributed per-(cell, dim) integer-micro sum job
+    (posexplode + groupBy — map-side partial aggregation, K·dim rows
+    collected), division driver-side."""
+    from .oracle_fixtures import IVF_ITERS, IVF_K
+
+    seeds = emb.orderBy("vec_id").limit(IVF_K).select(
+        "vec_id", "embedding"
+    ).collect()
+    cent_vecs = [[float(x) for x in r.embedding] for r in seeds]
+    dim = len(cent_vecs[0])
+    for _ in range(IVF_ITERS):
+        rows = (
+            emb.withColumn("cell", _ivf_assign_expr(cent_vecs))
+            .select("cell", F.posexplode("embedding").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1e6, 0).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by.setdefault(int(r.cell), {})[int(r.d)] = (int(r.s), int(r.n))
+        cent_vecs = [
+            [_ivf_half_up_div(by[c][d][0], by[c][d][1]) / 1e6
+             for d in range(dim)]
+            if c in by else cent_vecs[c]
+            for c in range(IVF_K)
+        ]
+    return seeds, cent_vecs
+
+
 @q("embedding_ann_ivf", _fx("embedding_ann_ivf"))
 def embedding_ann_ivf(spark, sf_dir):
     import math
 
-    from .oracle_fixtures import IVF_K, IVF_PROBES, IVF_TOPK
+    from .oracle_fixtures import IVF_PROBES, IVF_TOPK
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.orderBy("vec_id").limit(IVF_K).select("vec_id", "embedding").collect()
-    cent_vecs = [[float(x) for x in r.embedding] for r in cents]
-    qid, qv = int(cents[0].vec_id), cent_vecs[0]
+    seeds, cent_vecs = _ivf_centroids(emb)
+    qid, qv = int(seeds[0].vec_id), [float(x) for x in seeds[0].embedding]
 
     # driver-side probe selection over K vectors (constant work; plain
     # left-fold float math so any engine reproduces the same doubles).
@@ -1677,35 +1799,75 @@ def embedding_ann_ivf(spark, sf_dir):
     )
     probes = [c for _, c in order[:IVF_PROBES]]
 
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v_: acc + v_,
-        )
-
-    e = F.col("embedding")
-
-    def cos_to(cv):
-        lit = F.lit(cv)
-        return dot(e, lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(lit, lit)))
-
-    # argmax cosine via array_max over (cs, c) structs: lexicographic
-    # struct order ⇒ ties break to the larger cell id (mirror matches)
-    cell = F.array_max(
-        F.array(*[
-            F.struct(cos_to(cv).alias("cs"), F.lit(c).alias("c"))
-            for c, cv in enumerate(cent_vecs)
-        ])
-    ).getField("c")
     q_lit = F.lit(qv)
-    cos_q = dot(e, q_lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(q_lit, q_lit)))
+    e = F.col("embedding")
+    cos_q = _ivf_dot(e, q_lit) / (
+        F.sqrt(_ivf_dot(e, e)) * F.sqrt(_ivf_dot(q_lit, q_lit))
+    )
     return (
-        emb.withColumn("cell", cell.cast("int"))
+        emb.withColumn("cell", _ivf_assign_expr(cent_vecs).cast("int"))
         .where(F.col("cell").isin(*probes) & (F.col("vec_id") != qid))
         .select("vec_id", "cell", F.round(cos_q, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(IVF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN over a query TABLE — the batch complement of embedding_ann_ivf,
+# mirroring what embedding_ann_batch is to embedding_ann_lsh: production
+# dedup runs query tables, not single probes.  Probe-cell selection happens
+# IN SPARK per query row (slice of an array_sort over (−cos, c) structs —
+# negation is exact, so descending-cosine order matches the mirror), the
+# exploded (query × IVF_PROBES probes) set broadcasts into the cell-
+# assigned corpus as ONE equi-join on cell, and a per-q_id window re-ranks
+# exactly.  100-TB shape: broadcast size = queries × probes; corpus side
+# is the same probe-pruned cell scan as the single-query path — no
+# cartesian, no driver loop (plan-pinned).  Oracle: constructed fixture
+# (oracle_fixtures.build_ann_ivf_batch).
+# ---------------------------------------------------------------------------
+@q("embedding_ann_ivf_batch", _fx("embedding_ann_ivf_batch"))
+def embedding_ann_ivf_batch(spark, sf_dir):
+    from .oracle_fixtures import ANN_BATCH_QUERIES, ANN_BATCH_TOPK, IVF_PROBES
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _seeds, cent_vecs = _ivf_centroids(emb)
+
+    assigned = emb.withColumn("cell", _ivf_assign_expr(cent_vecs).cast("int"))
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(*[
+                F.struct((-_ivf_cos_to(cv)).alias("negcs"), F.lit(c).alias("c"))
+                for c, cv in enumerate(cent_vecs)
+            ])
+        ),
+        1,
+        IVF_PROBES,
+    )
+    qrows = (
+        emb.orderBy("vec_id")
+        .limit(ANN_BATCH_QUERIES)
+        .withColumn("_probes", probe_arr)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.transform("_probes", lambda s: s.getField("c").cast("int"))
+            ).alias("cell"),
+        )
+    )
+    cand = assigned.join(F.broadcast(qrows), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _ivf_dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(_ivf_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_ivf_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_BATCH_TOPK)
     )
 
 

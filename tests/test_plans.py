@@ -270,3 +270,15 @@ def test_dup_spans_no_pair_join(spark):
     p = plan(dup_span_extract(spark, _sf_dir("0.01")))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "posexplode" in p or "Generate" in p, p
+
+
+def test_embedding_ann_ivf_batch_single_broadcast(spark):
+    """Batch IVF must broadcast the exploded (query × probes) set into the
+    cell-assigned corpus as ONE equi-join — no cartesian/nested-loop, no
+    sort-merge shuffle of the corpus."""
+    from abwcf_spark.queries import embedding_ann_ivf_batch
+
+    p = plan(embedding_ann_ivf_batch(spark, _sf_dir("0.01")), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p
