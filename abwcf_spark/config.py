@@ -44,6 +44,15 @@ class CrawlConfig:
     max_rounds: int = 1000
     # politeness safety cap when crawl_delay=0 (reference allows unbounded rate)
     max_fetches_per_host_per_round: int = 1000
+    # optional per-host BYTE budget per round — the round-discretized form
+    # of the reference's bytes/s fetcher throttle (Fetcher.scala:144,
+    # reference.conf:130-145 token bucket).  None = off.  Semantics: within
+    # the row-budget rank order, a fetch proceeds while the strict prefix
+    # sum of declared sizes (Content-Length analogue) is under the budget —
+    # the first row always proceeds, overshoot ≤ one response (the bucket's
+    # going-negative behavior).  Gated-out rows stay Discovered and retry
+    # next round.
+    max_bytes_per_host_per_round: int | None = None
     # priority: 'xxhash64' (seeded hash — deterministic stand-in for the
     # reference's ThreadLocalRandom default), 'breadth_first' (-depth) or
     # 'depth_first' (+depth) (PrioritizationFunctions.scala:11-24)

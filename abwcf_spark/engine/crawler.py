@@ -52,6 +52,7 @@ from ..kernels.cuckoo_shards import ShardedCuckoo
 from ..operators.round_ops import (
     advance_gates,
     assign_fetch_order,
+    byte_budget_select,
     dedup_in_round,
     fetch_and_emit,
     host_budgets,
@@ -697,6 +698,13 @@ class SparkCrawler:
                 F.broadcast(newly_dis.select("url")), "url", "left_anti"
             )
         sel = politeness_select(discovered, budgets, self.n_salts)
+        if cfg.max_bytes_per_host_per_round is not None:
+            # optional byte budget (Fetcher.scala:144 token bucket,
+            # round-discretized): gated-out rows simply stay Discovered
+            # and compete again next round — no state to carry
+            sel = byte_budget_select(
+                sel, self.corpus, cfg.max_bytes_per_host_per_round
+            )
         # the hosts-table size as of the last commit (exact 0 at fresh
         # start, Observation-fed afterwards, None after resume) plus this
         # round's refresh count bounds the ACTIVE host count — every host

@@ -67,6 +67,10 @@ class CuckooFilter:
         # might_contain/remove_hashes decode them as (bucket, fp) pairs
         self.stash: list[int] = []
         self.n_added = 0
+        # session counters (CacheMetrics.scala:53-69 eviction parity):
+        # transient — not serialized; shard writers report per-batch deltas
+        self.n_kicks = 0    # eviction-chain displacements executed
+        self.n_removed = 0  # fingerprints deleted via remove_hashes
 
     @classmethod
     def for_capacity(cls, n_keys: int, load: float = 0.84) -> "CuckooFilter":
@@ -118,6 +122,7 @@ class CuckooFilter:
             i, cur = int(i2), int(fp)
             for kick in range(self.max_kicks):
                 slot = (cur + kick) % SLOTS
+                self.n_kicks += 1
                 cur, table[i, slot] = int(table[i, slot]), np.uint16(cur)
                 i = int(self._alt_index(i, np.uint16(cur)))
                 row = table[i]
@@ -187,6 +192,7 @@ class CuckooFilter:
                     removed += 1
                     break
         self.n_added -= removed
+        self.n_removed += removed
         return removed
 
     # ------------------------------------------------------- serialization

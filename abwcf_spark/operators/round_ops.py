@@ -383,6 +383,44 @@ def politeness_select(
     )
 
 
+def byte_budget_select(
+    sel: DataFrame, corpus: DataFrame, byte_budget: int
+) -> DataFrame:
+    """Optional per-host BYTE budget (Fetcher.scala:144 bytes/s token
+    bucket, reference.conf:130-145, discretized to the round): within the
+    row-budget selection, keep the maximal rank-prefix whose STRICT prefix
+    sum of declared sizes stays under ``byte_budget`` — a fetch starts
+    while tokens remain, so the first row per host always proceeds and the
+    overshoot is bounded by one response (the bucket's going-negative
+    semantics).  Declared size = body_length_col (the Content-Length
+    header analogue, known before body download); NULL / unknown sizes
+    count 0.  Because sizes are non-negative the kept set is always a
+    rank-prefix, so ranks stay dense and no re-rank is needed.
+
+    100-TB shape: the size lookup is the same broadcast-probe scan the
+    fetch join runs (selected set broadcast into the column-pruned corpus
+    — payload bytes never read); the prefix sum is a per-host window over
+    rank, bounded by the row cap, never the frontier."""
+    sizes = corpus.select(
+        "url", body_length_col(corpus).alias("_bl")
+    ).join(F.broadcast(sel.select("url")), "url")
+    j = sel.join(F.broadcast(sizes), "url", "left")
+    w = (
+        Window.partitionBy("host")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(
+        F.sum(F.coalesce(F.col("_bl"), F.lit(0)).cast("long")).over(w),
+        F.lit(0),
+    )
+    return (
+        j.withColumn("_cum", cum)
+        .where(F.col("_cum") < byte_budget)
+        .drop("_bl", "_cum")
+    )
+
+
 def assign_fetch_order(
     sel: DataFrame, fetch_seq: int, parts: int = 16,
     n_hosts_hint: int | None = None,

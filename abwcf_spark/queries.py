@@ -214,6 +214,61 @@ def o8_budget_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# O8b — per-host BYTE budget (Fetcher.scala:144 bytes/s token bucket,
+# reference.conf:130-145, discretized to the round): within the row-budget
+# rank order, keep the maximal prefix whose STRICT prefix sum of declared
+# sizes (Content-Length analogue) is under the budget.  Runs the actual
+# engine operator (round_ops.byte_budget_select — the same broadcast size
+# lookup + per-host prefix-sum window the crawl loop executes when
+# cfg.max_bytes_per_host_per_round is set) against a plain-SQL cumulative
+# window — the strongest oracle form.
+# ---------------------------------------------------------------------------
+@q(
+    "o8_byte_budget_gate",
+    """
+    WITH ranked AS (
+      SELECT CAST(o_custkey % 50 AS BIGINT) AS host,
+             o_orderkey AS url,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey % 50
+                                ORDER BY o_orderkey) AS rank
+      FROM orders
+    ), capped AS (
+      SELECT host, url, rank, CAST(url * 37 % 5000 AS BIGINT) AS bl
+      FROM ranked WHERE rank <= 100
+    )
+    SELECT host, url AS url_key, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT host, url, rank,
+             COALESCE(SUM(bl) OVER (PARTITION BY host ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM capped
+    ) WHERE cum_before < 20000
+    """,
+)
+def o8_byte_budget_gate(spark, sf_dir):
+    from .operators.round_ops import byte_budget_select
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("host").orderBy("url")
+    sel = (
+        orders.select(
+            (F.col("o_custkey") % 50).cast("long").alias("host"),
+            F.col("o_orderkey").alias("url"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+    )
+    corpus = orders.select(
+        F.col("o_orderkey").alias("url"),
+        (F.col("o_orderkey") * 37 % 5000).cast("long").alias("content_length"),
+    )
+    return byte_budget_select(sel, corpus, 20000).select(
+        "host", F.col("url").alias("url_key"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # O11 — fetch status routing (Fetcher.scala:108-131): 2xx/3xx/4xx+5xx →
 # Processed / redirect re-inject / error, as case/when aggregation.
 # ---------------------------------------------------------------------------

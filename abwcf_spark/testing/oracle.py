@@ -286,6 +286,20 @@ def crawl_oracle(
             if budget <= 0:
                 continue
             ranked = sorted(by_host[sa], key=lambda t: (-t[0], t[1]))[:budget]
+            if cfg.max_bytes_per_host_per_round is not None:
+                # byte budget mirror (round_ops.byte_budget_select): strict
+                # prefix sum of declared sizes < budget keeps the row; the
+                # declared size mirrors body_length_col — the corpus's
+                # content_length column, NULL/missing counted 0
+                kept, cum = [], 0
+                for pr, u in ranked:
+                    if cum >= cfg.max_bytes_per_host_per_round:
+                        break
+                    kept.append((pr, u))
+                    page = corpus_by_url.get(u)
+                    cl = page.get("content_length") if page is not None else None
+                    cum += int(cl) if cl is not None else 0
+                ranked = kept
             gates[sa] = advance_gate(nf, rnd, delay, len(ranked), round_ms)
             fetch_set.extend((sa, u) for _, u in ranked)
         m["fetched"] = len(fetch_set)
