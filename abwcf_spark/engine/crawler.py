@@ -147,6 +147,12 @@ def metrics_stage_rows(m: dict) -> list[dict]:
     # ClusterNodeMetricsCollector.scala entity counts / CacheMetrics sizes
     add("gauge_hosts_rows", m.get("hosts_rows"))
     add("gauge_frontier_rows", m.get("frontier_rows"))
+    # cuckoo seen-filter eviction/deletion counters (CacheMetrics.scala:
+    # 53-69 exports hits, misses AND evictions; the bloom never evicts, so
+    # these keys only exist on cuckoo runs / purge calls)
+    add("cache_seen_evictions", m.get("seen_kicks"))
+    add("cache_seen_deletes", m.get("seen_deletes"))
+    add("seen_purge", m.get("purged"))
     return rows
 
 
@@ -815,6 +821,13 @@ class SparkCrawler:
         if bloom_future is not None:
             m["inserted"] = bloom_future.result()
             self._bloom_future = None
+        if isinstance(self.bloom, ShardedCuckoo) and self.collect_metrics:
+            # eviction gauge delta for this round's inserts (the kick
+            # counter is cumulative session-scope on the sharded store)
+            m["seen_kicks"] = self.bloom.n_kicks - getattr(
+                self, "_kicks_reported", 0
+            )
+            self._kicks_reported = self.bloom.n_kicks
         _lap("commit")
         self.metrics.append(m)
         self._append_metrics(m)
@@ -835,12 +848,14 @@ class SparkCrawler:
     def _metrics_dir(self) -> str:
         return os.path.join(self.work_dir, "metrics")
 
-    def _append_metrics(self, m: dict) -> None:
+    def _append_metrics(self, m: dict, name: str | None = None) -> None:
         """Append this round's per-stage rows to the durable metrics table
         (one immutable parquet file per round, keyed by round so a resumed
-        run that replays a round idempotently overwrites its file).  Counts
-        are driver-known scalars from the round's Observations — writing is
-        a local pyarrow call, no Spark job."""
+        run that replays a round idempotently overwrites its file; purge
+        calls pass an explicit ``name`` so they never collide with the
+        round's own file).  Counts are driver-known scalars from the
+        round's Observations — writing is a local pyarrow call, no Spark
+        job."""
         rows = metrics_stage_rows(m)
         if not rows:
             return
@@ -854,7 +869,8 @@ class SparkCrawler:
             ("passed", pa.int64()), ("rejected", pa.int64()),
             ("wall_ms", pa.int64()),
         ])
-        path = os.path.join(d, f"round={int(m['round']):06d}.parquet")
+        fname = name if name is not None else f"round={int(m['round']):06d}"
+        path = os.path.join(d, f"{fname}.parquet")
         tmp = path + ".tmp"
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
         os.replace(tmp, path)
@@ -869,6 +885,78 @@ class SparkCrawler:
                 [], "round int, stage string, passed long, rejected long, wall_ms long"
             )
         return self.spark.read.parquet(d)
+
+    # ------------------------------------------------------------ purge/recrawl
+    def purge_urls(self, urls: list[str]) -> int:
+        """Forget URLs entirely — the recrawl/eviction path that makes the
+        cuckoo filter's DELETE capability engine-real (reference analogue:
+        cache eviction, CacheMetrics.scala:53-69, plus the row-level DELETE
+        entity passivation implies):
+
+        1. remove the urls' fingerprints from the cuckoo seen set (a bloom
+           cannot delete → ValueError — this is why ``seen_filter="cuckoo"``
+           exists);
+        2. rewrite the frontier WITHOUT those rows via one forced full
+           reconcile into a fresh base generation (O(table) IO — the same
+           cost class and writer as a full major compaction; batch purges
+           accordingly);
+        3. append a durable metrics row and checkpoint the manifest.
+
+        After a purge, a link to the URL probes the filter NEGATIVE
+        (provably unseen), skips the exact confirm, and re-enters the
+        frontier as a fresh Discovered row — fully re-discoverable.
+
+        Crash-safe by the same manifest rule as every commit: shard files
+        and base dirs are new versioned paths, invisible until the manifest
+        references them, so a kill mid-purge resumes as if the purge never
+        ran."""
+        if not isinstance(self.bloom, ShardedCuckoo):
+            raise ValueError(
+                "purge_urls requires SparkCrawler(seen_filter='cuckoo'); "
+                "a bloom seen-set cannot delete fingerprints"
+            )
+        if not urls:
+            return 0
+        purged = self.spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        ).withColumn("url_hash", F.xxhash64("url"))
+        removed = self.bloom.remove_dataframe(purged, "url_hash")
+
+        rec = self._reconciled_frontier()
+        n_before = self.frontier_rows
+        rec = rec.join(F.broadcast(purged.select("url")), "url", "left_anti")
+        # next free purge index ON DISK (not a memory counter): a purge →
+        # kill → resume → purge sequence must never collide with a dir the
+        # rolled-back manifest no longer references
+        snap = self._snap_dir(self.rnd)
+        existing = [
+            e for e in (os.listdir(snap) if os.path.isdir(snap) else [])
+            if e.startswith("fr_purge")
+        ]
+        seq = 1 + max((int(e[8:]) for e in existing), default=0)
+        base_dir = os.path.join(snap, f"fr_purge{seq:03d}")
+        self._write_delta(rec, base_dir, self._parts)
+        # exact count from the written footers (an Observation riding a
+        # partitionBy write never materializes when the write is empty)
+        n_after = self._leaf_rows([base_dir])
+        if os.path.isdir(base_dir) and self._bucket_dirs(base_dir):
+            self.chain_base = [base_dir]
+        else:
+            self.chain_base = []  # purge emptied the table
+        self.chain_ins = []
+        self.chain_upd = []
+        self.upd_rows = 0
+        n_purged = n_before - n_after
+        self.frontier_rows = n_after
+        self._reload_frontier()  # rebuild _data/_upd/frontier off the new chain
+
+        m = {"round": self.rnd, "purged": n_purged, "seen_deletes": removed}
+        self.metrics.append(m)
+        if self.collect_metrics:
+            self._append_metrics(m, name=f"purge-{self.rnd:06d}-{seq:03d}")
+        if self.checkpoint_dir:
+            self._checkpoint()
+        return n_purged
 
     def _write_delta(self, df: DataFrame, out: str, n_files: int) -> None:
         """Per-(bucket, round) immutable delta write: hash-repartitioned so

@@ -50,6 +50,11 @@ def _load_filter(path: str) -> CuckooFilter:
 
 class ShardedCuckoo(ShardedSeenStore):
     KIND = "cuckoo"
+    # session-scope eviction gauge (CacheMetrics.scala:53-69 parity):
+    # cumulative kick-chain displacements reported by shard writers.
+    # Class default covers the from_manifest path; resume starts at 0
+    # (counters are per-process, the metrics table is the durable record).
+    n_kicks = 0
 
     def __init__(self, directory: str, capacity: int, fpp: float = 0.01,
                  n_shards: int = 16):
@@ -93,8 +98,8 @@ class ShardedCuckoo(ShardedSeenStore):
                 # never-written shard: nothing to remove, and writing an
                 # empty filter would defeat the probe's "no version →
                 # provably never inserted" short-circuit
-                return pd.DataFrame({"shard": [], "n": []}).astype(
-                    {"shard": "int32", "n": "int64"}
+                return pd.DataFrame({"shard": [], "n": [], "kicks": []}).astype(
+                    {"shard": "int32", "n": "int64", "kicks": "int64"}
                 )
             if cur is not None:
                 path = os.path.join(directory, f"shard={shard:05d}",
@@ -115,25 +120,31 @@ class ShardedCuckoo(ShardedSeenStore):
                 n = len(hashes)
             else:
                 n = cf.remove_hashes(hashes)
+            # kick counter starts 0 on every load, so cf.n_kicks IS this
+            # batch's eviction-displacement delta (CacheMetrics eviction
+            # parity, aggregated driver-side)
+            kicks = int(cf.n_kicks)
+            cf.n_kicks = 0  # the cached filter object must not double-count
             out = os.path.join(directory, f"shard={shard:05d}", f"v={wv:06d}.bin")
             os.makedirs(os.path.dirname(out), exist_ok=True)
             tmp = out + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(cf.to_bytes())
             os.replace(tmp, out)
-            return pd.DataFrame({"shard": [shard], "n": [n]})
+            return pd.DataFrame({"shard": [shard], "n": [n], "kicks": [kicks]})
 
         rows = (
             df.select(F.col(hash_col).alias("_h"))
             .withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)))
             .groupBy("_shard")
-            .applyInPandas(write_shard, "shard int, n long")
+            .applyInPandas(write_shard, "shard int, n long, kicks long")
             .collect()
         )
         touched = 0
         for r in rows:
             self.versions[int(r.shard)] = wv
             touched += int(r.n)
+            self.n_kicks += int(r.kicks)
         return touched
 
     def add_dataframe(self, df, hash_col: str) -> int:
