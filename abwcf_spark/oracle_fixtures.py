@@ -1196,6 +1196,32 @@ def build_dup_spans() -> pd.DataFrame:
 BUILDERS["dup_span_extract"] = build_dup_spans
 
 
+def build_dup_span_strip() -> pd.DataFrame:
+    """Mirror of queries.dup_span_strip: cut the mirror's own merged span
+    list out of each document by plain python slicing."""
+    docs = _read_sf001("documents")
+    texts = {int(d): str(t) for d, t in zip(docs.doc_id, docs.text)}
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, s, n in mirror_dup_spans(texts.items()):
+        spans.setdefault(doc_id, []).append((s, n))
+    rows = []
+    for doc_id, text in texts.items():
+        sp = sorted(spans.get(doc_id, []))
+        acc, pos = [], 0
+        for s, n in sp:
+            acc.append(text[pos:s])
+            pos = s + n
+        acc.append(text[pos:])
+        rows.append((doc_id, "".join(acc), len(sp), sum(n for _, n in sp)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "clean_text", "n_spans", "removed_chars"]
+    ).astype({"doc_id": "int64", "clean_text": "object",
+              "n_spans": "int32", "removed_chars": "int64"})
+
+
+BUILDERS["dup_span_strip"] = build_dup_span_strip
+
+
 if __name__ == "__main__":
     import sys
 

@@ -1370,6 +1370,57 @@ def dup_span_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Passage dedup part 2 — SPAN STRIPPING: produce the cleaned corpus with the
+# repeated spans removed (what a training-data pipeline actually feeds the
+# tokenizer).  The span lists from dup_spans are already merged, disjoint
+# and sorted, so the cut is one per-row Catalyst `aggregate` fold that
+# walks the spans copying the gaps — no UDF, no extra shuffle beyond the
+# dup_spans aggregation and one keyed join back to the docs.  Docs with no
+# shared spans pass through verbatim (left join).  Oracle: constructed
+# fixture (oracle_fixtures.build_dup_span_strip — python slicing over the
+# mirror's own span list).
+# ---------------------------------------------------------------------------
+def dup_span_strip(docs: DataFrame) -> DataFrame:
+    spans = dup_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("_spans"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("removed_chars"),
+    )
+    cut = (
+        "aggregate(_spans, "
+        "named_struct('acc', CAST('' AS STRING), 'pos', CAST(0 AS BIGINT)), "
+        "(a, sp) -> named_struct("
+        "'acc', concat(a.acc, substr(text, CAST(a.pos + 1 AS INT), "
+        "CAST(sp.span_start - a.pos AS INT))), "
+        "'pos', sp.span_start + sp.span_len), "
+        "a -> concat(a.acc, substr(text, CAST(a.pos + 1 AS INT), "
+        "length(text))))"
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_spans").isNotNull(), F.expr(cut))
+            .otherwise(F.col("text"))
+            .alias("clean_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("removed_chars"), F.lit(0).cast("long"))
+            .alias("removed_chars"),
+        )
+    )
+
+
+@q("dup_span_strip", _fx("dup_span_strip"))
+def dup_span_strip_entry(spark, sf_dir):
+    return dup_span_strip(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature extraction: decode opaque image bytes and emit typed
 # features (dimensions, mean luminance, perceptual hash) — the image-side
 # analogue of the text-quality signals, running the same Arrow-batched

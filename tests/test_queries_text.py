@@ -68,3 +68,37 @@ def test_dup_spans_no_cross_doc_sharing_is_empty(spark):
     docs = [(1, "abcdefgh" * 30), (2, "ijklmnop" * 30), (3, "qrstuvwx" * 30)]
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     assert dup_spans(sdf).count() == 0
+
+
+def test_dup_span_strip_removes_boilerplate(spark):
+    """Stripping must cut exactly the extracted spans: clean docs pass
+    through verbatim, carriers lose the shared paragraph, and
+    text == interleave(clean_text, spans) reconstructs for every doc."""
+    from abwcf_spark.queries import dup_span_strip, dup_spans
+
+    boiler = (
+        "This document is provided under the Example Public License v1. "
+        "Redistribution and use in source and binary forms are permitted."
+    )
+    body1 = "alpha bravo charlie delta echo foxtrot golf hotel india " * 6
+    body2 = "kilo lima mike november oscar papa quebec romeo sierra " * 6
+    clean = "0123456789" * 40
+    docs = [(1, boiler + " " + body1), (2, boiler + " " + body2), (3, clean)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in dup_span_strip(sdf).collect()}
+    spans = {}
+    for r in dup_spans(sdf).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+
+    assert out[3].clean_text == clean and out[3].n_spans == 0
+    for d, text in docs:
+        rec = out[d]
+        sp = sorted(spans.get(d, []))
+        acc, pos = [], 0
+        for s, n in sp:
+            acc.append(text[pos:s]); pos = s + n
+        acc.append(text[pos:])
+        assert rec.clean_text == "".join(acc)
+        assert rec.removed_chars == sum(n for _, n in sp)
+    assert boiler not in out[1].clean_text and boiler not in out[2].clean_text
