@@ -721,6 +721,7 @@ def ensure_fixtures(force: bool = False) -> None:
 
 
 EMB_BUCKET_CAP = 100  # signature-bucket size cap for the near-dup self-join
+EMB_CLUSTER_THRESHOLD_MILLI = 300  # edge gate for embedding cluster view
 
 
 def build_emb_near_dup() -> pd.DataFrame:
@@ -1220,6 +1221,42 @@ def build_dup_span_strip() -> pd.DataFrame:
 
 
 BUILDERS["dup_span_strip"] = build_dup_span_strip
+
+
+def build_emb_near_dup_clusters() -> pd.DataFrame:
+    """Mirror of queries.embedding_near_dup_clusters: INDEPENDENT
+    union-find over the mirror's OWN pair list (build_emb_near_dup — not
+    the Spark output) gated at EMB_CLUSTER_THRESHOLD_MILLI, min-id rep."""
+    emb = _read_sf001("embeddings")
+    ids = sorted(int(v) for v in emb.vec_id)
+    pairs = build_emb_near_dup()
+    parent = {v: v for v in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, c in zip(pairs.vec_a, pairs.vec_b, pairs.cos_milli):
+        if int(c) < EMB_CLUSTER_THRESHOLD_MILLI:
+            continue
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp = {v: find(v) for v in ids}
+    sizes: dict[int, int] = {}
+    for v in ids:
+        sizes[comp[v]] = sizes.get(comp[v], 0) + 1
+    rows = [(v, comp[v], sizes[comp[v]], v == comp[v]) for v in ids]
+    return pd.DataFrame(
+        rows, columns=["vec_id", "cluster_id", "cluster_size", "is_canonical"]
+    ).astype({"vec_id": "int64", "cluster_id": "int64",
+              "cluster_size": "int64", "is_canonical": "bool"})
+
+
+BUILDERS["embedding_near_dup_clusters"] = build_emb_near_dup_clusters
 
 
 if __name__ == "__main__":

@@ -1574,6 +1574,50 @@ def near_dup_clusters(spark, sf_dir):
 QUERIES["near_dup_clusters"] = near_dup_clusters
 ORACLE["near_dup_clusters"] = _fx("near_dup_clusters")
 
+
+# ---------------------------------------------------------------------------
+# EMBEDDING near-duplicate CLUSTERING — the same set-level dedup view for
+# the vector modality: connected components (operators/graph.py) over the
+# signature-bucketed embedding pair graph (embedding_near_dup_pairs),
+# edges gated at EMB_CLUSTER_THRESHOLD_MILLI cosine, every vector labeled
+# (cluster rep = min vec_id, size, keep-flag).  Completes the story the
+# text side already has (near_dup_clusters): pairs alone cannot answer
+# "which rows do I drop" across transitive chains.  100-TB shape: pair
+# generation is the capped signature self-join (no all-pairs); the star
+# iterations are O(log n) keyed shuffles.  Oracle: constructed fixture —
+# independent union-find over the mirror's own pair list
+# (oracle_fixtures.build_emb_near_dup_clusters).
+# ---------------------------------------------------------------------------
+def embedding_near_dup_clusters(spark, sf_dir):
+    from .operators.graph import connected_components
+    from .oracle_fixtures import EMB_CLUSTER_THRESHOLD_MILLI
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = QUERIES["embedding_near_dup_pairs"](spark, sf_dir).where(
+        F.col("cos_milli") >= EMB_CLUSTER_THRESHOLD_MILLI
+    )
+    cc = connected_components(pairs, a="vec_a", b="vec_b")
+    labeled = (
+        emb.join(cc.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+QUERIES["embedding_near_dup_clusters"] = embedding_near_dup_clusters
+ORACLE["embedding_near_dup_clusters"] = _fx("embedding_near_dup_clusters")
+
 # ---------------------------------------------------------------------------
 # Training-data op: DETERMINISTIC stratified sampling — per-stratum
 # downsampling by a salted md5 threshold on the row key.  The canonical

@@ -67,3 +67,46 @@ def test_purge_then_rediscover(spark, tmp_path):
     assert len(purge_rows) == 1 and int(purge_rows.passed.iloc[0]) == 1
     assert len(del_rows) == 1 and int(del_rows.passed.iloc[0]) == 1
     c.close()
+
+
+def test_purge_crash_before_checkpoint_rolls_back(spark, tmp_path):
+    """Crash-safety of the purge: shard files and the purge base are NEW
+    versioned paths, invisible until the manifest references them — a
+    purge that dies before its checkpoint must resume as if it never ran
+    (frontier intact, probe still positive)."""
+    tables = gen_corpus(T1_MICRO)
+    sdfs = corpus_to_spark(spark, tables)
+    ckpt = str(tmp_path / "ckpt")
+    c = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CrawlConfig(),
+        checkpoint_dir=ckpt, checkpoint_interval=2, seen_filter="cuckoo",
+    )
+    res = c.run(seeds=sdfs["seeds"])
+    pdf = res.frontier_pdf()
+    target = sorted(pdf.url)[2]
+    n_rows = len(pdf)
+
+    # simulate the kill: the purge completes everything EXCEPT the
+    # manifest write
+    orig = c._checkpoint
+    c._checkpoint = lambda: (_ for _ in ()).throw(KeyboardInterrupt())
+    with pytest.raises(KeyboardInterrupt):
+        c.purge_urls([target])
+    c._checkpoint = orig
+    c.close()
+
+    # a FRESH process resumes from the last manifest: pre-purge state
+    c2 = SparkCrawler(
+        spark, sdfs["corpus"], sdfs["robots"], CrawlConfig(),
+        checkpoint_dir=ckpt, checkpoint_interval=2, seen_filter="cuckoo",
+    )
+    res2 = c2.run(resume=True)
+    pdf2 = res2.frontier_pdf()
+    assert len(pdf2) == n_rows and target in set(pdf2.url)
+    probe = c2.bloom.make_probe_udf()
+    seen = (
+        spark.createDataFrame([(target,)], "url string")
+        .select(probe(F.xxhash64("url")).alias("s")).collect()[0].s
+    )
+    assert seen, "rolled-back purge must leave the url provably seen"
+    c2.close()

@@ -479,3 +479,34 @@ def test_phash_bytes_chain_finds_reencode_variants(spark):
             or (f"{p}~r" in set(pairs.image_a) and p in set(pairs.image_b)))
     )
     assert found == len(planted), f"chain missed {len(planted)-found} variants"
+
+
+def test_embedding_near_dup_clusters_transitive_chain(spark):
+    """A planted transitive chain (A~B, B~C, with A-C below threshold as a
+    PAIR) must collapse into ONE cluster with the min vec_id as canonical
+    — the set-level answer pair detection alone cannot give."""
+    import tempfile
+
+    from abwcf_spark.queries import embedding_near_dup_clusters
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").head(80)
+    base = np.array(emb.sort_values("vec_id").iloc[0]["embedding"],
+                    dtype=np.float32)
+    rng = np.random.default_rng(7)
+    chain = []
+    v = base.copy()
+    for i in range(4):  # each hop is a small step; ends differ more
+        v = v + rng.normal(0, 0.05, size=v.shape).astype(np.float32)
+        chain.append({"vec_id": 800000 + i, "embedding": list(v), "label": 8})
+    allv = pd.concat([emb, pd.DataFrame(chain)], ignore_index=True)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(allv).write.parquet(f"{d}/embeddings.parquet")
+        out = embedding_near_dup_clusters(spark, d).toPandas()
+    planted = out[out.vec_id >= 800000]
+    assert planted.cluster_id.nunique() == 1, "chain split across clusters"
+    row = planted.iloc[0]
+    assert int(row.cluster_size) >= 4
+    canon = out[(out.cluster_id == row.cluster_id) & out.is_canonical]
+    assert len(canon) == 1 and int(canon.vec_id.iloc[0]) == int(
+        out[out.cluster_id == row.cluster_id].vec_id.min()
+    )
