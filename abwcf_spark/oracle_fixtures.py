@@ -1142,10 +1142,11 @@ BUILDERS["image_resize_stats"] = build_image_resize
 # distinct documents.
 # --------------------------------------------------------------------------
 
-SPAN_MIN_LEN = 20  # emitted spans must cover at least this many chars
+SPAN_MIN_LEN = 20    # emitted spans must cover at least this many chars
+SPAN_BOILER_DF = 50  # strip gate: fingerprint shared by >=10% of the corpus
 
 
-def mirror_dup_spans(doc_texts) -> list[tuple[int, int, int]]:
+def mirror_dup_spans(doc_texts, min_df: int = 2) -> list[tuple[int, int, int]]:
     """Pure-python mirror of queries.dup_spans over (doc_id, text) pairs:
     winnowing fingerprints with window positions, cross-doc shared set,
     per-doc interval merge.  Shared by the gate fixture (sf0.01 documents)
@@ -1167,7 +1168,7 @@ def mirror_dup_spans(doc_texts) -> list[tuple[int, int, int]]:
         per_doc[int(doc_id)] = wins
         for fp in set(wins):
             fp_docs.setdefault(fp, set()).add(int(doc_id))
-    shared = {fp for fp, ds in fp_docs.items() if len(ds) >= 2}
+    shared = {fp for fp, ds in fp_docs.items() if len(ds) >= min_df}
     rows = []
     for doc_id in sorted(per_doc):
         spans: list[list[int]] = []
@@ -1199,11 +1200,12 @@ BUILDERS["dup_span_extract"] = build_dup_spans
 
 def build_dup_span_strip() -> pd.DataFrame:
     """Mirror of queries.dup_span_strip: cut the mirror's own merged span
-    list out of each document by plain python slicing."""
+    list (at the SPAN_BOILER_DF boilerplate gate) out of each document by
+    plain python slicing."""
     docs = _read_sf001("documents")
     texts = {int(d): str(t) for d, t in zip(docs.doc_id, docs.text)}
     spans: dict[int, list[tuple[int, int]]] = {}
-    for doc_id, s, n in mirror_dup_spans(texts.items()):
+    for doc_id, s, n in mirror_dup_spans(texts.items(), min_df=SPAN_BOILER_DF):
         spans.setdefault(doc_id, []).append((s, n))
     rows = []
     for doc_id, text in texts.items():
@@ -1257,6 +1259,72 @@ def build_emb_near_dup_clusters() -> pd.DataFrame:
 
 
 BUILDERS["embedding_near_dup_clusters"] = build_emb_near_dup_clusters
+
+
+def build_phash_clusters() -> pd.DataFrame:
+    """Mirror of queries.image_near_dup_clusters: INDEPENDENT union-find
+    over the brute-force popcount mirror's pair list (build_phash_near_dup
+    — not the Spark output), min-string-id representative."""
+    ids = sorted(str(i) for i in phash_corpus().image_id)
+    pairs = build_phash_near_dup()
+    parent = {v: v for v in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.image_a, pairs.image_b):
+        ra, rb = find(str(a)), find(str(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp = {v: find(v) for v in ids}
+    sizes: dict[str, int] = {}
+    for v in ids:
+        sizes[comp[v]] = sizes.get(comp[v], 0) + 1
+    rows = [(v, comp[v], sizes[comp[v]], v == comp[v]) for v in ids]
+    return pd.DataFrame(
+        rows, columns=["image_id", "cluster_id", "cluster_size", "is_canonical"]
+    ).astype({"image_id": "object", "cluster_id": "object",
+              "cluster_size": "int64", "is_canonical": "bool"})
+
+
+BUILDERS["image_near_dup_clusters"] = build_phash_clusters
+
+
+def build_training_pipeline() -> pd.DataFrame:
+    """Mirror of queries.training_pipeline_sample: chain the independent
+    mirrors — span strip (build_dup_span_strip) → the literal
+    spaces-plus-one token formula on the cleaned text → n_tokens >= 16 →
+    md5(doc_id || ':pipe')[:2] threshold per language."""
+    import hashlib
+
+    docs = _read_sf001("documents")
+    meta = {int(d): (str(la), str(so))
+            for d, la, so in zip(docs.doc_id, docs.lang, docs.source)}
+    rows = []
+    for r in build_dup_span_strip().itertuples(index=False):
+        s = str(r.clean_text)
+        n_tokens = len(s) - len(s.replace(" ", "")) + 1
+        if n_tokens < 16:
+            continue
+        lang, source = meta[int(r.doc_id)]
+        bucket = hashlib.md5(f"{int(r.doc_id)}:pipe".encode()).hexdigest()[:2]
+        if bucket >= ("60" if lang == "en" else "a0"):
+            continue
+        rows.append((int(r.doc_id), lang, source, n_tokens,
+                     int(r.n_spans), int(r.removed_chars)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "lang", "source", "n_tokens",
+                       "n_spans", "removed_chars"]
+    ).astype({"doc_id": "int64", "lang": "object", "source": "object",
+              "n_tokens": "int64", "n_spans": "int32",
+              "removed_chars": "int64"})
+
+
+BUILDERS["training_pipeline_sample"] = build_training_pipeline
 
 
 if __name__ == "__main__":

@@ -1315,8 +1315,15 @@ ORACLE["doc_fingerprint_winnow"] = _fx("doc_fingerprint_winnow")
 # constructed fixture (oracle_fixtures.mirror_dup_spans), also exercised
 # on constructed overlapping-boilerplate docs in tests/test_queries_text.py.
 # ---------------------------------------------------------------------------
-def dup_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, span_start, span_len) repeated-span list."""
+def dup_spans(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """(doc_id, text) → (doc_id, span_start, span_len) repeated-span list.
+
+    ``min_df``: a fingerprint counts as shared when >= min_df distinct
+    docs contain it.  2 = the pair-level definition (any cross-doc
+    repetition); higher values isolate TRUE boilerplate — text shared by
+    a meaningful fraction of the corpus (the strip entries use
+    SPAN_BOILER_DF so heavily-templated corpora keep their unique
+    content)."""
     from .oracle_fixtures import SPAN_MIN_LEN, WINNOW_K, WINNOW_W
 
     L = WINNOW_W + WINNOW_K - 2  # window at gram j covers chars [j, j+L]
@@ -1338,7 +1345,7 @@ def dup_spans(docs: DataFrame) -> DataFrame:
         .distinct()
         .groupBy("fingerprint")
         .count()
-        .where(F.col("count") >= 2)
+        .where(F.col("count") >= min_df)
         .select("fingerprint")
     )
     merge = (
@@ -1380,8 +1387,8 @@ def dup_span_extract(spark, sf_dir):
 # fixture (oracle_fixtures.build_dup_span_strip — python slicing over the
 # mirror's own span list).
 # ---------------------------------------------------------------------------
-def dup_span_strip(docs: DataFrame) -> DataFrame:
-    spans = dup_spans(docs)
+def dup_span_strip(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    spans = dup_spans(docs, min_df=min_df)
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_len"))
@@ -1415,8 +1422,55 @@ def dup_span_strip(docs: DataFrame) -> DataFrame:
 
 @q("dup_span_strip", _fx("dup_span_strip"))
 def dup_span_strip_entry(spark, sf_dir):
+    # strip at the BOILERPLATE document-frequency gate (shared by >=10%
+    # of the corpus), not the pair-level min_df=2 the extractor entry
+    # certifies: the synthetic corpus is heavily templated, and min_df=2
+    # would strip essentially all text — real pipelines cut the license/
+    # template spans and keep the unique content
+    from .oracle_fixtures import SPAN_BOILER_DF
+
     return dup_span_strip(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_df=SPAN_BOILER_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# COMPOSITE training-data pipeline — the stages a user actually chains,
+# certified end-to-end as ONE plan: strip repeated cross-document spans
+# (boilerplate removal) → token-count the CLEANED text → quality gate →
+# deterministic stratified sample.  Each stage is an already-gated
+# operator; this entry certifies their COMPOSITION (the strip feeds the
+# gate that feeds the sample, all inside one Catalyst plan — no
+# materialization boundaries).  100-TB shape: the only shuffles are the
+# span extractor's two keyed aggregations + the label join; token count,
+# gate and sample are scan-stage expressions over the fold's output.
+# Oracle: constructed fixture chaining the independent python mirrors
+# (oracle_fixtures.build_training_pipeline).
+# ---------------------------------------------------------------------------
+@q("training_pipeline_sample", _fx("training_pipeline_sample"))
+def training_pipeline_sample(spark, sf_dir):
+    from .oracle_fixtures import SPAN_BOILER_DF
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = dup_span_strip(docs.select("doc_id", "text"),
+                             min_df=SPAN_BOILER_DF)
+    n_tokens = (
+        F.length("clean_text")
+        - F.length(F.regexp_replace("clean_text", " ", ""))
+        + 1
+    ).cast("long")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pipe"))), 1, 2
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit("60")).otherwise(F.lit("a0"))
+    return (
+        cleaned.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("n_tokens", n_tokens)
+        .where(F.col("n_tokens") >= 16)
+        .where(bucket < thresh)
+        .select("doc_id", "lang", "source", "n_tokens",
+                "n_spans", "removed_chars")
     )
 
 
@@ -1617,6 +1671,58 @@ def embedding_near_dup_clusters(spark, sf_dir):
 
 QUERIES["embedding_near_dup_clusters"] = embedding_near_dup_clusters
 ORACLE["embedding_near_dup_clusters"] = _fx("embedding_near_dup_clusters")
+
+
+# ---------------------------------------------------------------------------
+# IMAGE near-dup clustering — the third modality's set-level dedup view
+# (text: near_dup_clusters; vectors: embedding_near_dup_clusters): the
+# banded-pHash pair graph collapsed to connected components, every image
+# labeled with its min-id canonical, cluster size and keep-flag.  A crawl
+# that captured the same image at three recompressions keeps exactly one.
+# Same 100-TB shape as the siblings (capped banded pairs, O(log n) star
+# shuffles).  Oracle: constructed fixture — independent union-find over
+# the brute-force popcount mirror's pair list
+# (oracle_fixtures.build_phash_clusters).
+# ---------------------------------------------------------------------------
+def image_phash_clusters(sdf: DataFrame) -> DataFrame:
+    """(image_id, phash) → (image_id, cluster_id, cluster_size,
+    is_canonical) — the reusable core behind the gate entry, so tests can
+    plant transitive chains on constructed hash tables."""
+    from .operators.graph import connected_components
+
+    pairs = _phash_banded_pairs(sdf)
+    cc = connected_components(pairs, a="image_a", b="image_b")
+    labeled = (
+        sdf.select("image_id")
+        .join(cc.withColumnRenamed("node", "image_id"), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("component", "image_id").alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "image_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("image_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def image_near_dup_clusters(spark, sf_dir):
+    from .oracle_fixtures import phash_corpus
+
+    pdf = phash_corpus()
+    sdf = spark.createDataFrame(
+        pdf.to_dict("records"), "image_id string, phash long"
+    ).repartition(8)
+    return image_phash_clusters(sdf)
+
+
+QUERIES["image_near_dup_clusters"] = image_near_dup_clusters
+ORACLE["image_near_dup_clusters"] = _fx("image_near_dup_clusters")
 
 # ---------------------------------------------------------------------------
 # Training-data op: DETERMINISTIC stratified sampling — per-stratum

@@ -282,3 +282,18 @@ def test_embedding_ann_ivf_batch_single_broadcast(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") == 1, p
     assert "SortMergeJoin" not in p
+
+
+def test_training_pipeline_single_plan_no_cartesian(spark):
+    """The composite pipeline entry must stay ONE Catalyst plan with no
+    materialization boundary and no product join: equi-joins only (the
+    span label join + the doc-metadata join), the token/gate/sample
+    stages as scan-side expressions (md5 threshold visible in the plan),
+    and column pruning on the documents scan (never n_chars)."""
+    from abwcf_spark.queries import training_pipeline_sample
+
+    df = training_pipeline_sample(spark, _sf_dir("0.001"))
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "md5" in p, p          # sample predicate stayed in-plan
+    assert "n_chars" not in p, p  # documents scan is column-pruned

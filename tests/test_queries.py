@@ -510,3 +510,31 @@ def test_embedding_near_dup_clusters_transitive_chain(spark):
     assert len(canon) == 1 and int(canon.vec_id.iloc[0]) == int(
         out[out.cluster_id == row.cluster_id].vec_id.min()
     )
+
+
+def test_image_phash_clusters_transitive_chain(spark):
+    """pHash chain h0~h1 (Hamming 3), h1~h2 (Hamming 3), h0-h2 at Hamming 6
+    — the direct pair is over PHASH_MAX_HAMMING, so only connected
+    components can put all three recaptures in ONE cluster.  Background
+    images with far-apart hashes must stay singletons."""
+    from abwcf_spark.queries import image_phash_clusters
+
+    h0 = 0x5A5A_1234_ABCD_0F0F
+    h1 = h0 ^ 0b111            # 3 bits, band 0
+    h2 = h1 ^ (0b111 << 20)    # 3 bits from h1 (band 1), 6 from h0
+    rng = np.random.default_rng(11)
+    rows = [("img_a0", h0), ("img_a1", h1), ("img_a2", h2)] + [
+        (f"img_bg{i:02d}", int(rng.integers(0, 2**63))) for i in range(20)
+    ]
+    sdf = spark.createDataFrame(
+        [{"image_id": i, "phash": h} for i, h in rows],
+        "image_id string, phash long",
+    )
+    out = image_phash_clusters(sdf).toPandas()
+    assert len(out) == len(rows)
+    chain = out[out.image_id.str.startswith("img_a")]
+    assert chain.cluster_id.nunique() == 1, "recapture chain split"
+    assert set(chain.cluster_size) == {3}
+    assert chain[chain.is_canonical].image_id.tolist() == ["img_a0"]
+    bg = out[out.image_id.str.startswith("img_bg")]
+    assert (bg.cluster_size == 1).all() and bg.is_canonical.all()

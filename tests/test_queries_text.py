@@ -102,3 +102,74 @@ def test_dup_span_strip_removes_boilerplate(spark):
         assert rec.clean_text == "".join(acc)
         assert rec.removed_chars == sum(n for _, n in sp)
     assert boiler not in out[1].clean_text and boiler not in out[2].clean_text
+
+
+def test_training_pipeline_composition_constructed(spark):
+    """The composite pipeline entry (boilerplate strip → token count on the
+    CLEANED text → quality gate → stratified sample) on a CONSTRUCTED
+    corpus, checked row-for-row against an independent python chain built
+    from mirror_dup_spans + plain slicing/hashing.  Plants every branch:
+    boilerplated docs with long tails (survive), boilerplated docs with
+    short tails (token-gated out), clean pass-through docs, and a second
+    language stratum with its own sample threshold."""
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from abwcf_spark.oracle_fixtures import SPAN_BOILER_DF, mirror_dup_spans
+    from abwcf_spark.queries import training_pipeline_sample
+
+    boiler = ("LICENSE NOTICE this content is distributed under the "
+              "standard terms and conditions apply to every mirror copy. ")
+    docs = []
+    for i in range(SPAN_BOILER_DF + 10):  # above the DF gate
+        long_tail = i % 2 == 0
+        tail = (f"unique finding {i} " * (12 if long_tail else 2)
+                + f"closing remark number {i}.")
+        lang = "de" if i % 10 == 6 else "en"
+        docs.append({"doc_id": 1000 + i, "text": boiler + tail,
+                     "lang": lang, "source": f"s{i % 3}",
+                     "n_chars": len(boiler + tail)})
+    for i in range(8):  # clean docs — no cross-doc spans at all
+        t = (f"entirely original essay {i} with plenty of words " * 4
+             + f"ending {i}.")
+        docs.append({"doc_id": 2000 + i, "text": t, "lang": "en",
+                     "source": "clean", "n_chars": len(t)})
+    pdf = pd.DataFrame(docs)
+
+    # independent chain: mirror spans -> slice -> count -> gate -> sample
+    texts = {int(r.doc_id): str(r.text) for r in pdf.itertuples()}
+    spans = {}
+    for doc_id, s, n in mirror_dup_spans(texts.items(),
+                                         min_df=SPAN_BOILER_DF):
+        spans.setdefault(doc_id, []).append((s, n))
+    expect = {}
+    for r in pdf.itertuples():
+        text, doc_id = str(r.text), int(r.doc_id)
+        keep, pos = [], 0
+        for s, n in sorted(spans.get(doc_id, [])):
+            keep.append(text[pos:s])
+            pos = s + n
+        keep.append(text[pos:])
+        clean = "".join(keep)
+        n_tokens = clean.count(" ") + 1
+        if n_tokens < 16:
+            continue
+        bucket = hashlib.md5(f"{doc_id}:pipe".encode()).hexdigest()[:2]
+        if bucket >= ("60" if r.lang == "en" else "a0"):
+            continue
+        expect[doc_id] = (r.lang, r.source, n_tokens, len(spans.get(doc_id, [])),
+                          sum(n for _, n in spans.get(doc_id, [])))
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        out = training_pipeline_sample(spark, d).toPandas()
+
+    got = {int(r.doc_id): (r.lang, r.source, int(r.n_tokens),
+                           int(r.n_spans), int(r.removed_chars))
+           for r in out.itertuples()}
+    assert got == expect
+    assert any(v[3] > 0 for v in expect.values()), "no stripped doc sampled"
+    assert any(v[3] == 0 for v in expect.values()), "no clean doc sampled"
+    assert {v[0] for v in expect.values()} == {"en", "de"}, "one stratum only"
