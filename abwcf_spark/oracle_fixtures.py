@@ -1327,6 +1327,34 @@ def build_training_pipeline() -> pd.DataFrame:
 BUILDERS["training_pipeline_sample"] = build_training_pipeline
 
 
+def build_keep_best() -> pd.DataFrame:
+    """Mirror of queries.near_dup_keep_best: chain the independent cluster
+    mirror (build_near_dup_clusters — union-find over the mirror's own
+    MinHash pairs) with the plain spaces-plus-one token count, then pick
+    per cluster the member with the most tokens (ties → lowest doc_id)."""
+    docs = _read_sf001("documents")
+    ntok = {int(d): str(t).count(" ") + 1 for d, t in zip(docs.doc_id, docs.text)}
+    cl = build_near_dup_clusters()
+    best: dict[int, tuple[int, int]] = {}  # cluster -> (n_tokens, doc_id)
+    for r in cl.itertuples(index=False):
+        cand = (ntok[int(r.doc_id)], int(r.doc_id))
+        cur = best.get(int(r.cluster_id))
+        if cur is None or cand[0] > cur[0] or (cand[0] == cur[0] and cand[1] < cur[1]):
+            best[int(r.cluster_id)] = cand
+    rows = [
+        (int(r.doc_id), int(r.cluster_id), int(r.cluster_size),
+         ntok[int(r.doc_id)], int(r.doc_id) == best[int(r.cluster_id)][1])
+        for r in cl.itertuples(index=False)
+    ]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cluster_id", "cluster_size", "n_tokens", "keep"]
+    ).astype({"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64",
+              "n_tokens": "int64", "keep": "bool"})
+
+
+BUILDERS["near_dup_keep_best"] = build_keep_best
+
+
 if __name__ == "__main__":
     import sys
 

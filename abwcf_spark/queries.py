@@ -1630,6 +1630,62 @@ ORACLE["near_dup_clusters"] = _fx("near_dup_clusters")
 
 
 # ---------------------------------------------------------------------------
+# Near-dup KEEP-BEST — the keep/drop decision a dedup pipeline actually
+# ends with: within every near-dup cluster keep the HIGHEST-QUALITY
+# member (here: token count, ties to the lowest doc_id), not the
+# arbitrary min-id canonical the cluster view reports.  One extra
+# aggregation on cluster_id over the cluster output — partial-agg
+# friendly, and the argmax is a single struct max (no window, no sort of
+# whole clusters on one reducer).  100-TB shape: clusters are bounded by
+# the capped pair graph, so the groupBy keys are well-distributed; the
+# quality join is keyed on doc_id like every other doc-side join.
+# Oracle: constructed fixture chaining the independent mirrors
+# (oracle_fixtures.build_keep_best).
+# ---------------------------------------------------------------------------
+def near_dup_keep_best_core(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """clusters (doc_id, cluster_id, cluster_size, ...) × quality
+    (doc_id, n_tokens) → keep/drop decisions.  Separate from the entry so
+    tests can feed constructed cluster/quality tables."""
+    scored = clusters.select("doc_id", "cluster_id", "cluster_size").join(
+        quality, "doc_id"
+    )
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_tokens"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.neg_id")).alias("keep_doc"))
+    )
+    return scored.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "n_tokens",
+        (F.col("doc_id") == F.col("keep_doc")).alias("keep"),
+    )
+
+
+def near_dup_keep_best(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return near_dup_keep_best_core(near_dup_clusters(spark, sf_dir), quality)
+
+
+QUERIES["near_dup_keep_best"] = near_dup_keep_best
+ORACLE["near_dup_keep_best"] = _fx("near_dup_keep_best")
+
+
+# ---------------------------------------------------------------------------
 # EMBEDDING near-duplicate CLUSTERING — the same set-level dedup view for
 # the vector modality: connected components (operators/graph.py) over the
 # signature-bucketed embedding pair graph (embedding_near_dup_pairs),

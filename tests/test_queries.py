@@ -538,3 +538,27 @@ def test_image_phash_clusters_transitive_chain(spark):
     assert chain[chain.is_canonical].image_id.tolist() == ["img_a0"]
     bg = out[out.image_id.str.startswith("img_bg")]
     assert (bg.cluster_size == 1).all() and bg.is_canonical.all()
+
+
+def test_near_dup_keep_best_prefers_quality_over_min_id(spark):
+    """Keep-best must choose the highest-token member of each cluster —
+    NOT the min-id canonical — with ties broken to the lowest doc_id, and
+    singletons keeping themselves."""
+    from abwcf_spark.queries import near_dup_keep_best_core
+
+    clusters = spark.createDataFrame(
+        [(10, 10, 3), (11, 10, 3), (12, 10, 3), (99, 99, 1)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    quality = spark.createDataFrame(
+        [(10, 5), (11, 50), (12, 50), (99, 7)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r.doc_id: r for r in
+           near_dup_keep_best_core(clusters, quality).collect()}
+    assert len(out) == 4
+    assert [d for d, r in out.items() if r.keep] == [11, 99] or \
+        sorted(d for d, r in out.items() if r.keep) == [11, 99]
+    assert not out[10].keep, "min-id canonical must lose to higher quality"
+    assert not out[12].keep, "token tie must break to the LOWER doc_id"
+    assert out[99].keep and out[99].cluster_size == 1
