@@ -1327,6 +1327,30 @@ def build_training_pipeline() -> pd.DataFrame:
 BUILDERS["training_pipeline_sample"] = build_training_pipeline
 
 
+def build_export_roundtrip() -> pd.DataFrame:
+    """Mirror of queries.export_roundtrip: per-lang aggregates of the
+    training-pipeline mirror.  The export sink must land exactly the
+    sampled rows on disk, so the read-back aggregate AND the manifest
+    row count both equal the mirror's per-lang totals."""
+    tp = build_training_pipeline()
+    g = (
+        tp.groupby("lang", as_index=False)
+        .agg(
+            n_docs=("doc_id", "count"),
+            sum_tokens=("n_tokens", "sum"),
+            sum_removed=("removed_chars", "sum"),
+        )
+    )
+    g["manifest_rows"] = g["n_docs"]
+    return g.astype(
+        {"lang": "object", "n_docs": "int64", "sum_tokens": "int64",
+         "sum_removed": "int64", "manifest_rows": "int64"}
+    )
+
+
+BUILDERS["export_roundtrip"] = build_export_roundtrip
+
+
 def build_keep_best() -> pd.DataFrame:
     """Mirror of queries.near_dup_keep_best: chain the independent cluster
     mirror (build_near_dup_clusters — union-find over the mirror's own

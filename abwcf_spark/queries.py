@@ -16,6 +16,8 @@ in tests/ instead (tests/test_crawl_e2e.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1471,6 +1473,51 @@ def training_pipeline_sample(spark, sf_dir):
         .where(bucket < thresh)
         .select("doc_id", "lang", "source", "n_tokens",
                 "n_spans", "removed_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXPORT round-trip — the sink closing the training pipeline, certified
+# through the driver gate: write the sampled corpus via the export sink
+# (hive-partitioned by lang, size-bounded shards), then prove what landed
+# on disk by emitting per-partition aggregates from TWO independent
+# read paths — (a) Spark re-reading the exported parquet, (b) the sink's
+# footer-derived _manifest.json — joined on the partition key.  The
+# oracle mirror recomputes the same aggregates from the pure-python
+# training-pipeline mirror, so a row lost/duplicated in the shuffle, the
+# write, or the manifest scan breaks the hash.  File counts are NOT
+# emitted (range-partition sampling makes them config-dependent); row
+# totals are layout-invariant.
+# ---------------------------------------------------------------------------
+@q("export_roundtrip", _fx("export_roundtrip"))
+def export_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from .pipelines.export import write_training_shards
+
+    sample = training_pipeline_sample(spark, sf_dir)
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="abwcf-export-gate-"), "train"
+    )
+    manifest = write_training_shards(
+        sample, out, partition_cols=("lang",), max_records_per_file=64
+    )
+    mdf = spark.createDataFrame(
+        [
+            (k.split("=", 1)[1], int(v["rows"]))
+            for k, v in manifest["partitions"].items()
+        ],
+        "lang string, manifest_rows long",
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("removed_chars").alias("sum_removed"),
+        )
+        .join(mdf, "lang")
     )
 
 
