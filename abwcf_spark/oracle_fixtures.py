@@ -1388,3 +1388,42 @@ if __name__ == "__main__":
 
         t = pq.read_table(fixture_path(name))
         print(f"{name}: {t.num_rows} rows, {t.schema.names}")
+
+
+INC_BATCH_MOD = 5  # doc_id % 5 == 4 → "new batch" (~20% of the corpus)
+
+
+def build_incremental_minhash() -> pd.DataFrame:
+    """Mirror of queries.incremental_minhash_dedup: banded LSH buckets
+    over ALL docs, but pairs drawn only batch×corpus from buckets holding
+    both kinds within the cap; exact-Jaccard confirm (integer milli)."""
+    docs = _read_sf001("documents")
+    sh = {int(d): shingle_set(t) for d, t in zip(docs.doc_id, docs.text)}
+    sigs = {d: _minhash_sig(ss) for d, ss in sh.items() if ss}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, m in sorted(sigs.items()):
+        for b in range(MINHASH_BANDS):
+            key = (b, xxhash64_str(f"{b}|{m[2 * b]}|{m[2 * b + 1]}"))
+            buckets.setdefault(key, []).append(d)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) > MINHASH_BUCKET_CAP:
+            continue
+        batch = [d for d in members if d % INC_BATCH_MOD == INC_BATCH_MOD - 1]
+        corpus = [d for d in members if d % INC_BATCH_MOD != INC_BATCH_MOD - 1]
+        for a in batch:
+            for b2 in corpus:
+                pairs.add((a, b2))
+    rows = []
+    for a, b in sorted(pairs):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        rows.append((a, b, (1000 * inter) // union))
+    return pd.DataFrame(
+        rows, columns=["batch_doc", "corpus_doc", "jaccard_milli"]
+    ).astype(
+        {"batch_doc": "int64", "corpus_doc": "int64", "jaccard_milli": "int64"}
+    )
+
+
+BUILDERS["incremental_minhash_dedup"] = build_incremental_minhash

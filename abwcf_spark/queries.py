@@ -528,22 +528,15 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def _lsh_jaccard_pairs(
-    shingles: DataFrame, perms: int, bands: int, cap: int, salt: str
+def _minhash_melted(
+    shingles: DataFrame, perms: int, bands: int, salt: str
 ) -> DataFrame:
-    """Shared banded-MinHash candidate generation + exact-Jaccard confirm
-    over a (doc_id, shingle) set — entirely Catalyst built-ins:
-
-    shingle set → ``perms`` minhashes (xxhash64 with per-permutation salt,
-    min per doc) → ``bands`` × (perms/bands) rows → band-bucket self-join →
-    distinct (a < b) pairs → exact-Jaccard confirm over the candidate pairs
-    (integer milli-Jaccard, no float reductions).
-
-    100-TB shape: the band-bucket join replaces the all-pairs product; hot
-    buckets (empty/boilerplate docs all hashing together) are CAPPED at
-    ``cap`` members and dropped above it, bounding any bucket's quadratic
-    blowup.  The Jaccard confirm touches only candidate pairs (broadcast
-    into the shingle scan), never the full corpus."""
+    """(doc_id, shingle) set → banded MinHash signature, melted to one row
+    per (doc_id, band, bucket-hash): ``perms`` minhashes (xxhash64 with
+    per-permutation salt, min per doc) → ``bands`` × (perms/bands) row
+    groups, each hashed to a 64-bit bucket id.  Shared by the self-join
+    near-dup path (``_lsh_jaccard_pairs``) and the bipartite
+    batch-vs-corpus path (``_lsh_bipartite_pairs``)."""
     rows_per_band = perms // bands
     hashes = shingles.select(
         "doc_id",
@@ -567,9 +560,27 @@ def _lsh_jaccard_pairs(
         )
         for b in range(bands)
     ]
-    melted = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.b", "bb.bucket")
+
+
+def _lsh_jaccard_pairs(
+    shingles: DataFrame, perms: int, bands: int, cap: int, salt: str
+) -> DataFrame:
+    """Shared banded-MinHash candidate generation + exact-Jaccard confirm
+    over a (doc_id, shingle) set — entirely Catalyst built-ins:
+
+    shingle set → banded signature (``_minhash_melted``) → band-bucket
+    self-join → distinct (a < b) pairs → exact-Jaccard confirm over the
+    candidate pairs (integer milli-Jaccard, no float reductions).
+
+    100-TB shape: the band-bucket join replaces the all-pairs product; hot
+    buckets (empty/boilerplate docs all hashing together) are CAPPED at
+    ``cap`` members and dropped above it, bounding any bucket's quadratic
+    blowup.  The Jaccard confirm touches only candidate pairs (broadcast
+    into the shingle scan), never the full corpus."""
+    melted = _minhash_melted(shingles, perms, bands, salt)
     ok_buckets = (
         melted.groupBy("b", "bucket")
         .agg(F.count(F.lit(1)).alias("ct"))
@@ -585,6 +596,14 @@ def _lsh_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return _jaccard_confirm(shingles, pairs)
+
+
+def _jaccard_confirm(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact set-Jaccard (integer milli) for candidate (doc_a, doc_b)
+    pairs over a (doc_id, shingle) table.  Candidate-pair tables are tiny
+    relative to the corpus, so every join here broadcasts the pair side
+    INTO the shingle scan — the corpus shingle table never shuffles."""
     # exact-Jaccard confirm: candidate pairs only (pairs ≪ corpus → broadcast)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -2357,3 +2376,315 @@ def token_counts_bpe(spark, sf_dir):
         n_num.cast("long").alias("n_num"),
         (n_tokens - n_alpha - n_num).cast("long").alias("n_other"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: within-document REPETITION quality signals — the
+# Gopher-rule family (Rae et al. 2021 §A1.1; same signals ship in the
+# public Dolma toolkit): excessively self-repetitive documents (looped
+# boilerplate, keyword stuffing, templated spam) are poor training text
+# even when no OTHER document duplicates them, so pipelines gate on
+# duplicate-n-gram fractions BEFORE cross-document dedup.  Three signals
+# per doc, integer milli-fractions (no float reductions):
+#   dup_word_frac_milli     1000·(n_words − n_distinct_words)/n_words
+#   top_bigram_frac_milli   1000·(most frequent bigram count)/n_bigrams
+#   dup_trigram_frac_milli  1000·(occurrences of trigrams seen >1×)/n_trigrams
+# (The corpus fixture is single-line, so Gopher's duplicate-LINE variants
+# are degenerate here; the n-gram family is the meaningful granularity.)
+#
+# 100-TB shape: grams for n=1,2,3 are built PER ROW with array
+# higher-order functions (tokens never leave their row), exploded once,
+# then ONE (doc_id, n, gram) groupBy → ONE doc_id groupBy — both
+# hash-partial-aggregated map-side, so the shuffle carries (gram, count)
+# partials, never raw text.  Per-doc work is linear in doc length (no
+# per-row quadratic distinct×scan), so a 1 MB outlier doc costs O(tokens),
+# not O(tokens²).  Whitespace is the explicit ASCII class (Java \s
+# includes \x0B, RE2's does not — token_counts_bpe note).  Oracle is
+# plain SQL — the strongest gate form.
+# ---------------------------------------------------------------------------
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
+@q(
+    "doc_repetition_signals",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tk
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM tk WHERE len(toks) >= 2
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                        || toks[i + 2])) AS gram
+      FROM tk WHERE len(toks) >= 3
+    ), pg AS (
+      SELECT doc_id, n, gram, count(*) AS ct FROM grams GROUP BY 1, 2, 3
+    ), pd AS (
+      SELECT doc_id,
+             sum(CASE WHEN n = 1 THEN ct END) AS n_words,
+             sum(CASE WHEN n = 1 THEN 1 END) AS n_distinct,
+             max(CASE WHEN n = 2 THEN ct END) AS top_bg,
+             sum(CASE WHEN n = 2 THEN ct END) AS n_bg,
+             sum(CASE WHEN n = 3 AND ct > 1 THEN ct ELSE 0 END) AS dup_tg,
+             sum(CASE WHEN n = 3 THEN ct END) AS n_tg
+      FROM pg GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+           CAST(CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+                     ELSE floor(1000 * (n_words - n_distinct) / n_words)
+                END AS BIGINT) AS dup_word_frac_milli,
+           CAST(CASE WHEN coalesce(n_bg, 0) = 0 THEN 0
+                     ELSE floor(1000 * top_bg / n_bg)
+                END AS BIGINT) AS top_bigram_frac_milli,
+           CAST(CASE WHEN coalesce(n_tg, 0) = 0 THEN 0
+                     ELSE floor(1000 * dup_tg / n_tg)
+                END AS BIGINT) AS dup_trigram_frac_milli
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def doc_repetition_signals(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", _WS_CLASS), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    empty = F.array().cast("array<int>")
+
+    def gram_structs(k: int):
+        idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(empty)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(k).alias("n"),
+                F.concat_ws(
+                    " ", *[F.get("toks", i + j) for j in range(k)]
+                ).alias("gram"),
+            ),
+        )
+
+    pg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.concat(gram_structs(1), gram_structs(2), gram_structs(3))
+            ).alias("g"),
+        )
+        .select("doc_id", "g.n", "g.gram")
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    is1, is2, is3 = (F.col("n") == k for k in (1, 2, 3))
+    pd_ = pg.groupBy("doc_id").agg(
+        F.sum(F.when(is1, F.col("ct"))).alias("n_words"),
+        F.sum(F.when(is1, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is2, F.col("ct"))).alias("top_bg"),
+        F.sum(F.when(is2, F.col("ct"))).alias("n_bg"),
+        F.sum(
+            F.when(is3 & (F.col("ct") > 1), F.col("ct")).otherwise(F.lit(0))
+        ).alias("dup_tg"),
+        F.sum(F.when(is3, F.col("ct"))).alias("n_tg"),
+    )
+
+    def milli(num, den):
+        return (
+            F.when(
+                F.coalesce(den, F.lit(0)) == 0, F.lit(0)
+            )
+            .otherwise(F.floor(F.lit(1000) * num / den))
+            .cast("long")
+        )
+
+    return (
+        docs.select("doc_id")
+        .join(pd_, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            milli(
+                F.col("n_words") - F.col("n_distinct"), F.col("n_words")
+            ).alias("dup_word_frac_milli"),
+            milli(F.col("top_bg"), F.col("n_bg")).alias("top_bigram_frac_milli"),
+            milli(F.col("dup_tg"), F.col("n_tg")).alias("dup_trigram_frac_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: eval-set DECONTAMINATION — flag corpus documents that
+# share a word n-gram with a benchmark/eval suite (the GPT-3 appendix-C /
+# Dolma decontamination shape: training text overlapping a test set
+# inflates downstream eval scores, so pipelines drop or redact it before
+# training).  Stand-in eval suite: documents with doc_id % 97 == 0 (six
+# docs at sf0.01); corpus = the rest.  Output per corpus doc: the number
+# of n-gram OCCURRENCES also present in the eval suite + a boolean flag.
+#
+# Production runs n in 8..13; the gate runs n=4 because the synthetic
+# fixture's ~40-word vocabulary makes longer cross-doc grams vanishingly
+# rare (measured: 9 occurrence hits at n=4, 0 at n≥6) — the operator
+# takes n as a parameter, the plan shape is n-independent.
+#
+# 100-TB shape: eval-suite grams are DISTINCT'd and broadcast (an eval
+# suite is KBs–MBs against a 100-TB corpus), so corpus grams are probed
+# map-side inside the scan stage — no corpus-side shuffle of raw text;
+# the only wide exchange is the per-doc hit-count groupBy carrying
+# (doc_id, partial count).  Grams are built per-row with array
+# higher-order functions (linear in doc length).  Oracle is plain SQL.
+# ---------------------------------------------------------------------------
+def decontaminate(docs: DataFrame, n: int = 4, eval_mod: int = 97) -> DataFrame:
+    toks = F.filter(F.split("text", _WS_CLASS), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    sz = F.size("toks")
+    idx = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.get("toks", i + j) for j in range(n)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_grams = grams.where(is_eval).select("gram").distinct()
+    hits = (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.where(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@q(
+    "ngram_decontaminate",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' '
+                         || toks[i + 2] || ' ' || toks[i + 3])) AS gram
+      FROM tk WHERE len(toks) >= 4
+    ), ev AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT g.doc_id, count(*) AS n_hits
+      FROM g JOIN ev USING (gram)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_contaminated,
+           coalesce(n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def ngram_decontaminate(spark, sf_dir):
+    return decontaminate(_t(spark, sf_dir, "documents"), n=4, eval_mod=97)
+
+
+# ---------------------------------------------------------------------------
+# Training-data op: INCREMENTAL near-dup — dedup a NEW crawl batch against
+# the EXISTING corpus without re-pairing the corpus with itself.  This is
+# the shape a continuous crawl actually runs every ingest cycle: the
+# self-join near-dup pass (minhash_lsh_candidates) is an O(corpus)
+# backfill job, while steady-state ingest only needs batch×corpus edges.
+# Batch membership is deterministic here (doc_id % 5 == 4 ≈ 20% of docs
+# stand in for "this cycle's crawl"); production passes a real batch table.
+#
+# 100-TB shape: both sides share ONE banded-signature build
+# (_minhash_melted — the corpus side's signatures would be precomputed
+# and stored in production); the bucket join touches only buckets holding
+# BOTH a batch and a corpus member, with the same hot-bucket cap as the
+# self-join, so cost scales with the BATCH, not corpus².  The confirm
+# broadcasts candidate pairs into the shingle scan (shared
+# _jaccard_confirm).  Oracle: independent pure-python mirror
+# (oracle_fixtures.build_incremental_minhash) on the spec-XXH64.
+# ---------------------------------------------------------------------------
+def _lsh_bipartite_pairs(
+    shingles: DataFrame,
+    is_batch,
+    perms: int,
+    bands: int,
+    cap: int,
+    salt: str,
+) -> DataFrame:
+    melted = _minhash_melted(shingles, perms, bands, salt)
+    tagged = melted.withColumn("is_batch", is_batch)
+    stats = tagged.groupBy("b", "bucket").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.sum(F.col("is_batch").cast("int")).alias("n_batch"),
+    )
+    ok_buckets = stats.where(
+        (F.col("ct") <= cap)
+        & (F.col("n_batch") >= 1)
+        & (F.col("ct") > F.col("n_batch"))  # ≥1 corpus member too
+    ).select("b", "bucket")
+    capped = tagged.join(ok_buckets, ["b", "bucket"])
+    pairs = (
+        capped.where("is_batch")
+        .select("b", "bucket", F.col("doc_id").alias("doc_a"))
+        .join(
+            capped.where(~F.col("is_batch"))
+            .select("b", "bucket", F.col("doc_id").alias("doc_b")),
+            ["b", "bucket"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_confirm(shingles, pairs)
+
+
+@q("incremental_minhash_dedup")
+def incremental_minhash_dedup(spark, sf_dir):
+    from .oracle_fixtures import (
+        INC_BATCH_MOD,
+        MINHASH_BANDS,
+        MINHASH_BUCKET_CAP,
+        MINHASH_PERMS,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = _lsh_bipartite_pairs(
+        _doc_shingles(docs),
+        F.col("doc_id") % INC_BATCH_MOD == INC_BATCH_MOD - 1,
+        MINHASH_PERMS,
+        MINHASH_BANDS,
+        MINHASH_BUCKET_CAP,
+        "p",
+    )
+    return out.select(
+        F.col("doc_a").alias("batch_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        "jaccard_milli",
+    )
+
+
+ORACLE["incremental_minhash_dedup"] = _fx("incremental_minhash_dedup")

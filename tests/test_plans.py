@@ -297,3 +297,16 @@ def test_training_pipeline_single_plan_no_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "md5" in p, p          # sample predicate stayed in-plan
     assert "n_chars" not in p, p  # documents scan is column-pruned
+
+
+def test_incremental_minhash_no_cartesian_broadcast_confirm(spark):
+    """The ingest-pass near-dup must stay bucket-joined end to end: no
+    cartesian product anywhere, and the Jaccard confirm reaches the
+    shingle scan as broadcast joins (candidate pairs ≪ corpus)."""
+    from abwcf_spark.queries import incremental_minhash_dedup
+
+    plan = incremental_minhash_dedup(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

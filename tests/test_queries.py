@@ -633,3 +633,45 @@ def test_near_dup_keep_best_prefers_quality_over_min_id(spark):
     assert not out[10].keep, "min-id canonical must lose to higher quality"
     assert not out[12].keep, "token tie must break to the LOWER doc_id"
     assert out[99].keep and out[99].cluster_size == 1
+
+
+def test_incremental_minhash_bipartite_semantics(spark):
+    """Batch-vs-corpus dedup on a planted corpus: a batch doc near-dup'd
+    with a corpus doc is found; corpus↔corpus and batch↔batch near-dups
+    are NOT emitted (they belong to the backfill self-join, not the
+    ingest pass); every reported edge is batch→corpus oriented."""
+    from abwcf_spark.oracle_fixtures import INC_BATCH_MOD
+    from abwcf_spark.queries import (
+        _doc_shingles,
+        _lsh_bipartite_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the crawler collects captions for every image tile ") * 3
+    other = ("entirely different subject matter about distributed shuffle "
+             "partitioning and adaptive execution in columnar engines ") * 3
+    docs = [
+        (10, base + "corpus copy one"),          # corpus (10 % 5 == 0)
+        (11, base + "corpus copy two"),          # corpus — dup of 10
+        (14, base + "batch copy"),               # batch (14 % 5 == 4)
+        (19, other + "batch unique"),            # batch — no corpus dup
+        (24, other + "batch twin"),              # batch — dup of 19 ONLY
+        (20, "tiny unrelated"),                  # corpus, disjoint
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _lsh_bipartite_pairs(
+        _doc_shingles(sdf),
+        F.col("doc_id") % INC_BATCH_MOD == INC_BATCH_MOD - 1,
+        8, 4, 50, "p",
+    ).collect()
+    edges = {(r.doc_a, r.doc_b) for r in out}
+    assert (14, 10) in edges and (14, 11) in edges
+    for a, b in edges:
+        assert a % INC_BATCH_MOD == INC_BATCH_MOD - 1, "left side must be batch"
+        assert b % INC_BATCH_MOD != INC_BATCH_MOD - 1, "right side must be corpus"
+    assert not any({a, b} == {19, 24} for a, b in edges), "batch↔batch excluded"
+    assert not any({a, b} == {10, 11} for a, b in edges), "corpus↔corpus excluded"
+    # high-overlap planted pair confirms near-1000 milli-Jaccard
+    j = {(r.doc_a, r.doc_b): r.jaccard_milli for r in out}
+    assert j[(14, 10)] > 700

@@ -173,3 +173,101 @@ def test_training_pipeline_composition_constructed(spark):
     assert any(v[3] > 0 for v in expect.values()), "no stripped doc sampled"
     assert any(v[3] == 0 for v in expect.values()), "no clean doc sampled"
     assert {v[0] for v in expect.values()} == {"en", "de"}, "one stratum only"
+
+
+def test_doc_repetition_signals_constructed(spark):
+    """Gopher-family repetition signals on hand-computable docs:
+    a looped doc (one sentence repeated), a clean doc (all-distinct
+    words), an empty doc, and a keyword-stuffed doc."""
+    from abwcf_spark.queries import doc_repetition_signals
+
+    docs = [
+        # "spam ham eggs" ×4 → 12 words / 3 distinct; bigrams: 11 total,
+        # "spam ham"×4 top; trigrams: 10, every one repeated
+        (1, "spam ham eggs " * 4),
+        # all distinct words → every signal 0
+        (2, "alpha bravo charlie delta echo"),
+        (3, ""),
+        # "buy" stuffed: 6 words / 2 distinct; top bigram "buy buy"×3 of 5;
+        # trigrams b b b, b b n, b n b, n b b → all 4 distinct
+        (4, "buy buy buy now buy buy"),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r.asDict()
+            for r in doc_repetition_signals(spark, d).collect()
+        }
+
+    assert out[1] == {
+        "doc_id": 1,
+        "n_words": 12,
+        "dup_word_frac_milli": 1000 * 9 // 12,
+        "top_bigram_frac_milli": 1000 * 4 // 11,
+        "dup_trigram_frac_milli": 1000,
+    }
+    assert out[2] == {
+        "doc_id": 2,
+        "n_words": 5,
+        "dup_word_frac_milli": 0,
+        "top_bigram_frac_milli": 1000 // 4,  # every bigram distinct: 1/4
+        "dup_trigram_frac_milli": 0,
+    }
+    assert out[3] == {
+        "doc_id": 3,
+        "n_words": 0,
+        "dup_word_frac_milli": 0,
+        "top_bigram_frac_milli": 0,
+        "dup_trigram_frac_milli": 0,
+    }
+    assert out[4] == {
+        "doc_id": 4,
+        "n_words": 6,
+        "dup_word_frac_milli": 1000 * 4 // 6,
+        "top_bigram_frac_milli": 1000 * 3 // 5,
+        "dup_trigram_frac_milli": 0,
+    }
+
+
+def test_decontaminate_constructed(spark):
+    """Eval-overlap flagging on constructed docs: doc 0 is the eval suite
+    (eval_mod=97 → doc_id 0).  Doc 1 embeds one eval 4-gram twice (two
+    occurrence hits), doc 2 shares only a 3-gram (below n), doc 3 is
+    disjoint."""
+    from abwcf_spark.queries import decontaminate
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        # "quick brown fox jumps" appears twice → n_contaminated 2
+        (1, "a quick brown fox jumps here and a quick brown fox jumps there"),
+        # only "quick brown fox" (3-gram) shared; "quick brown fox sits"
+        # is not an eval 4-gram
+        (2, "quick brown fox sits still"),
+        (3, "zebra yak xerus wombat vole urchin"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_contaminated, r.contaminated)
+           for r in decontaminate(sdf, n=4, eval_mod=97).collect()}
+    assert 0 not in out, "eval docs are excluded from the output"
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram probe must reach the corpus scan as a broadcast join
+    — a shuffled join on raw gram strings would move the whole corpus's
+    n-grams at 100 TB."""
+    from abwcf_spark.queries import ngram_decontaminate
+
+    plan = ngram_decontaminate(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
