@@ -15,12 +15,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _export_pkg_pythonpath() -> None:
+    """Make ``import abwcf_spark`` work in Python WORKERS regardless of the
+    driver's cwd.  Local-mode workers inherit PYTHONPATH from the JVM's env
+    (captured at JVM launch), not the driver's ``sys.path`` — a driver started
+    outside the repo root pickles UDFs by module reference that workers then
+    can't import.  On a real cluster the same job ships the package via
+    ``spark-submit --py-files`` (scripts/make_pyfiles.sh); this is the
+    local-mode equivalent.  Must run BEFORE the first ``getOrCreate()``.
+    """
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
+
 def get_spark(
     app_name: str = "abwcf-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _export_pkg_pythonpath()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
