@@ -1427,3 +1427,184 @@ def build_incremental_minhash() -> pd.DataFrame:
 
 
 BUILDERS["incremental_minhash_dedup"] = build_incremental_minhash
+
+
+# --------------------------------------------------------------------------
+# Image+caption corpus FILTER gate (the LAION-style pre-training pass) and
+# generic-caption dedup.  laion_corpus plants deterministic negatives into
+# the T2_MULTI image rows: generic captions shared across many images,
+# too-short / overlong captions, too-small metadata dims, aspect-busting
+# widths — so the filter and the caption-dedup view both have real
+# negatives to catch.  Thresholds sit against the measured corpus base
+# (24-32 x 16-22 px, bpp_milli 2095-3109, captions ~40 chars / 7 tokens).
+# --------------------------------------------------------------------------
+
+ICF_MIN_SIDE = 16          # min(w, h) >= — base corpus min is 16
+ICF_MAX_ASPECT_MILLI = 3000  # 1000*max/min <= — base max is 2000
+ICF_MIN_BPP_MILLI = 500    # payload-bytes sanity: 1000*n_bytes/(w*h) >=
+ICF_CAP_MIN_TOKENS = 2
+ICF_CAP_MIN_CHARS = 5
+ICF_CAP_MAX_CHARS = 256
+GENERIC_CAPTIONS = ["photo", "image", "IMG 4032", "untitled image"]
+CAPTION_GENERIC_MIN_IMAGES = 3  # caption shared by >= N images => generic
+
+
+def laion_corpus() -> pd.DataFrame:
+    """(image_id, url, bytes, w, h, fmt, caption) with planted negatives,
+    keyed off the url hash so the mutation set is stable under corpus
+    regeneration.  hv % 11: 0 -> generic caption, 1 -> one-char caption,
+    2 -> overlong caption, 3 -> too-small metadata dims, 4 -> aspect-busting
+    width (also sinks bpp), else untouched."""
+    from .testing.corpus import T2_MULTI, gen_corpus
+
+    pdf = gen_corpus(T2_MULTI)["corpus"]
+    pdf = pdf[pdf["bytes"].notna()][
+        ["image_id", "url", "bytes", "w", "h", "fmt", "caption"]
+    ].reset_index(drop=True)
+    rows = []
+    for r in pdf.to_dict("records"):
+        hv = xxhash64_str(r["url"]) & 0x7FFFFFFFFFFFFFFF
+        m = hv % 11
+        if m == 0:
+            r["caption"] = GENERIC_CAPTIONS[hv % len(GENERIC_CAPTIONS)]
+        elif m == 1:
+            r["caption"] = "x"
+        elif m == 2:
+            r["caption"] = r["caption"] + " pad" * 80
+        elif m == 3:
+            r["w"], r["h"] = 12, 9
+        elif m == 4:
+            r["w"] = r["w"] * 8
+        rows.append(r)
+    return pd.DataFrame(rows)
+
+
+def build_image_caption_filter() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.image_caption_filter: pure-python
+    integer math over the same planted corpus (the query side is one
+    Catalyst scan stage — no UDF, no shuffle)."""
+    out = []
+    for r in laion_corpus().to_dict("records"):
+        n_bytes = len(r["bytes"])
+        w, h = int(r["w"]), int(r["h"])
+        aspect_milli = (1000 * max(w, h)) // min(w, h)
+        bpp_milli = (1000 * n_bytes) // (w * h)
+        cap = r["caption"]
+        cap_chars = len(cap)
+        cap_tokens = len(tokens_of(cap))
+        ok_size = min(w, h) >= ICF_MIN_SIDE
+        ok_aspect = aspect_milli <= ICF_MAX_ASPECT_MILLI
+        ok_payload = bpp_milli >= ICF_MIN_BPP_MILLI
+        ok_caption = (
+            cap_tokens >= ICF_CAP_MIN_TOKENS
+            and ICF_CAP_MIN_CHARS <= cap_chars <= ICF_CAP_MAX_CHARS
+        )
+        out.append(
+            (r["image_id"], w, h, n_bytes, aspect_milli, bpp_milli,
+             cap_chars, cap_tokens, ok_size, ok_aspect, ok_payload,
+             ok_caption,
+             ok_size and ok_aspect and ok_payload and ok_caption)
+        )
+    return pd.DataFrame(
+        out,
+        columns=["image_id", "w", "h", "n_bytes", "aspect_milli",
+                 "bpp_milli", "cap_chars", "cap_tokens", "ok_size",
+                 "ok_aspect", "ok_payload", "ok_caption", "keep"],
+    ).astype({
+        "image_id": "object", "w": "int64", "h": "int64",
+        "n_bytes": "int64", "aspect_milli": "int64", "bpp_milli": "int64",
+        "cap_chars": "int64", "cap_tokens": "int64", "ok_size": "bool",
+        "ok_aspect": "bool", "ok_payload": "bool", "ok_caption": "bool",
+        "keep": "bool",
+    })
+
+
+BUILDERS["image_caption_filter"] = build_image_caption_filter
+
+
+def build_caption_dedup_generic() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.caption_dedup_generic: pandas groupby
+    over the planted corpus.  A caption shared by >= CAPTION_GENERIC_MIN_
+    IMAGES distinct images is 'generic' ("photo", "untitled", ...); the
+    dedup keeps ONE representative per generic caption (min image_id) and
+    every image with a specific caption."""
+    pdf = laion_corpus()[["image_id", "caption"]]
+    g = pdf.groupby("caption")["image_id"].agg(["nunique", "min"])
+    out = []
+    for r in pdf.to_dict("records"):
+        n = int(g.loc[r["caption"], "nunique"])
+        generic = n >= CAPTION_GENERIC_MIN_IMAGES
+        keep = (not generic) or r["image_id"] == g.loc[r["caption"], "min"]
+        out.append((r["image_id"], n, generic, keep))
+    return pd.DataFrame(
+        out, columns=["image_id", "caption_images", "is_generic", "keep"]
+    ).astype({
+        "image_id": "object", "caption_images": "int64",
+        "is_generic": "bool", "keep": "bool",
+    })
+
+
+BUILDERS["caption_dedup_generic"] = build_caption_dedup_generic
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the scrubbing pass a training-data pipeline runs before
+# export.  Patterns use EXPLICIT ASCII classes only (no \s, no \d shorthand
+# divergence risk) so Spark's Java regex and the mirror's Python re agree;
+# both engines replace all non-overlapping leftmost matches.  Emails are
+# redacted first, then IPv4, then phones (the patterns are mutually
+# non-overlapping on any input by construction: only emails contain '@',
+# only phones start '+', the IP pattern requires digit-only dotted quads).
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -][0-9]{2,4}"
+
+
+def pii_corpus() -> pd.DataFrame:
+    """sf0.01 documents with PII planted deterministically by doc_id class:
+    %7==0 gets an email, %7==1 an IPv4, %7==2 a phone, %7==3 all three,
+    the rest stay clean (the redactor must pass clean text through
+    byte-identical)."""
+    docs = _read_sf001("documents")[["doc_id", "text"]]
+    rows = []
+    for d, t in zip(docs.doc_id, docs.text):
+        d = int(d)
+        m = d % 7
+        planted = t
+        if m in (0, 3):
+            planted += f" contact user{d}@mail-{d % 13}.example.com now"
+        if m in (1, 3):
+            planted += f" served from 10.{d % 256}.{(d * 7) % 256}.{d % 100}"
+        if m in (2, 3):
+            planted += f" call +{1 + d % 89} {200 + d % 700}-{1000 + d % 9000}-{10 + d % 90}"
+        rows.append((d, planted))
+    return pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64", "text": "object"}
+    )
+
+
+def build_pii_redact() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.pii_redact: Python re over the same
+    planted corpus (the query side is JVM regexp_count/regexp_replace —
+    the entry certifies the two regex engines agree on these patterns)."""
+    out = []
+    for r in pii_corpus().to_dict("records"):
+        t = r["text"]
+        n_emails = len(re.findall(PII_EMAIL_RE, t))
+        clean = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        n_ips = len(re.findall(PII_IPV4_RE, clean))
+        clean = re.sub(PII_IPV4_RE, "<IP>", clean)
+        n_phones = len(re.findall(PII_PHONE_RE, clean))
+        clean = re.sub(PII_PHONE_RE, "<PHONE>", clean)
+        out.append((r["doc_id"], n_emails, n_ips, n_phones, clean))
+    return pd.DataFrame(
+        out, columns=["doc_id", "n_emails", "n_ips", "n_phones", "text_clean"]
+    ).astype({
+        "doc_id": "int64", "n_emails": "int64", "n_ips": "int64",
+        "n_phones": "int64", "text_clean": "object",
+    })
+
+
+BUILDERS["pii_redact"] = build_pii_redact

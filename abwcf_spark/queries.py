@@ -2688,3 +2688,148 @@ def incremental_minhash_dedup(spark, sf_dir):
 
 
 ORACLE["incremental_minhash_dedup"] = _fx("incremental_minhash_dedup")
+
+
+# ---------------------------------------------------------------------------
+# Image+caption corpus FILTER — the LAION-style pre-training gate, the first
+# pass an image training pipeline runs over crawled (image, caption) pairs
+# (the graft's input_hint shape): geometry (min side, aspect), payload
+# sanity (bytes-per-pixel from the binary column's length — truncated or
+# metadata-inconsistent payloads sink it), and caption quality (token +
+# char bounds).  ONE Catalyst scan stage — integer-exact milli arithmetic,
+# no UDF, no shuffle, no decode; at 100 TB this is a map-only pass whose
+# binary column is never moved (length() reads the in-page size).  The
+# oracle is an independent pure-python mirror over the same planted corpus
+# (oracle_fixtures.build_image_caption_filter).
+# ---------------------------------------------------------------------------
+
+def _laion_sdf(spark):
+    import pandas as pd
+
+    from .oracle_fixtures import laion_corpus
+
+    pdf = laion_corpus()
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    return spark.createDataFrame(
+        pdf.to_dict("records"),
+        "image_id string, url string, bytes binary, w long, h long, "
+        "fmt string, caption string",
+    )
+
+
+@q("image_caption_filter", _fx("image_caption_filter"))
+def image_caption_filter(spark, sf_dir):
+    from .oracle_fixtures import (
+        ICF_CAP_MAX_CHARS,
+        ICF_CAP_MIN_CHARS,
+        ICF_CAP_MIN_TOKENS,
+        ICF_MAX_ASPECT_MILLI,
+        ICF_MIN_BPP_MILLI,
+        ICF_MIN_SIDE,
+    )
+
+    sdf = _laion_sdf(spark).repartition(8)
+    cap_tokens = F.size(
+        F.filter(F.split(F.col("caption"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    out = sdf.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.length("bytes").cast("long").alias("n_bytes"),
+        F.expr("(1000 * greatest(w, h)) div least(w, h)").alias("aspect_milli"),
+        F.expr("(1000 * length(bytes)) div (w * h)").alias("bpp_milli"),
+        F.length("caption").cast("long").alias("cap_chars"),
+        cap_tokens.alias("cap_tokens"),
+    )
+    out = out.select(
+        "*",
+        (F.least("w", "h") >= ICF_MIN_SIDE).alias("ok_size"),
+        (F.col("aspect_milli") <= ICF_MAX_ASPECT_MILLI).alias("ok_aspect"),
+        (F.col("bpp_milli") >= ICF_MIN_BPP_MILLI).alias("ok_payload"),
+        (
+            (F.col("cap_tokens") >= ICF_CAP_MIN_TOKENS)
+            & F.col("cap_chars").between(ICF_CAP_MIN_CHARS, ICF_CAP_MAX_CHARS)
+        ).alias("ok_caption"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("ok_size") & F.col("ok_aspect")
+            & F.col("ok_payload") & F.col("ok_caption")
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic-caption dedup — captions shared by many DISTINCT images ("photo",
+# "untitled", camera-roll names) carry no supervision signal; the standard
+# treatment keeps one representative pair per generic caption and every
+# specifically-captioned image.  Shape: one groupBy on the caption (at
+# 100 TB: on md5(caption) — bounded-width shuffle keys) producing a tiny
+# per-caption dim (distinct captions << images) broadcast back onto the
+# corpus; no window over the full table, no self-join.  Mirror:
+# oracle_fixtures.build_caption_dedup_generic (pandas groupby).
+# ---------------------------------------------------------------------------
+
+@q("caption_dedup_generic", _fx("caption_dedup_generic"))
+def caption_dedup_generic(spark, sf_dir):
+    from .oracle_fixtures import CAPTION_GENERIC_MIN_IMAGES
+
+    sdf = _laion_sdf(spark).select("image_id", "caption").repartition(8)
+    per_caption = sdf.groupBy("caption").agg(
+        F.count_distinct("image_id").cast("long").alias("caption_images"),
+        F.min("image_id").alias("rep_image"),
+    )
+    return (
+        sdf.join(F.broadcast(per_caption), "caption")
+        .select(
+            "image_id",
+            "caption_images",
+            (F.col("caption_images") >= CAPTION_GENERIC_MIN_IMAGES).alias(
+                "is_generic"
+            ),
+            (
+                (F.col("caption_images") < CAPTION_GENERIC_MIN_IMAGES)
+                | (F.col("image_id") == F.col("rep_image"))
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing pass before training-set export: emails,
+# IPv4s, and phone numbers replaced by typed tokens, with per-doc counts
+# for audit.  Pure Catalyst regexp_count/regexp_replace (JVM regex, scan
+# stage, no UDF, no shuffle) — patterns use explicit ASCII classes only so
+# the JVM engine and the mirror's Python re agree (same \s-class lesson as
+# token_counts_bpe).  Counts are taken on the SAME intermediate the next
+# replace runs on (emails first — "mail-3.example.com" would otherwise
+# feed the IP pattern's dotted-quad).  Mirror:
+# oracle_fixtures.build_pii_redact (python re.sub over the same planted
+# corpus); clean docs must pass through byte-identical.
+# ---------------------------------------------------------------------------
+
+@q("pii_redact", _fx("pii_redact"))
+def pii_redact(spark, sf_dir):
+    from .oracle_fixtures import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_corpus,
+    )
+
+    sdf = spark.createDataFrame(
+        pii_corpus().to_dict("records"), "doc_id long, text string"
+    ).repartition(8)
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return sdf.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        t3.alias("text_clean"),
+    )

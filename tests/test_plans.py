@@ -310,3 +310,37 @@ def test_incremental_minhash_no_cartesian_broadcast_confirm(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_image_caption_filter_is_pure_scan_stage(spark):
+    """The LAION-style filter is a map-only Catalyst pass: no Python
+    evaluation (the binary column is measured with length(), never
+    decoded), no join, no aggregation — at 100 TB it must stay a single
+    scan-stage projection."""
+    from abwcf_spark.queries import image_caption_filter
+
+    p = plan(image_caption_filter(spark, _sf_dir("0.01")))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p, p
+    assert "HashAggregate" not in p, p
+
+
+def test_caption_dedup_generic_broadcasts_caption_dim(spark):
+    """The per-caption dim (distinct captions << images) must come back via
+    a broadcast equi-join — a sort-merge here would shuffle the corpus by
+    caption a second time."""
+    from abwcf_spark.queries import caption_dedup_generic
+
+    p = plan(caption_dedup_generic(spark, _sf_dir("0.01")))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_redact_is_pure_scan_stage(spark):
+    """PII redaction is JVM regexp_count/regexp_replace only — no Python
+    eval, no join, no shuffle beyond the input distribution."""
+    from abwcf_spark.queries import pii_redact
+
+    p = plan(pii_redact(spark, _sf_dir("0.01")))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p and "HashAggregate" not in p, p

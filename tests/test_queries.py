@@ -742,3 +742,96 @@ def test_incremental_minhash_bipartite_semantics(spark):
     # high-overlap planted pair confirms near-1000 milli-Jaccard
     j = {(r.doc_a, r.doc_b): r.jaccard_milli for r in out}
     assert j[(14, 10)] > 700
+
+
+def test_image_caption_filter_planted_negatives():
+    """Every planted mutation class must be rejected for exactly the right
+    reason (and ONLY planted rows rejected): hv%11==0/1/2 caption classes,
+    ==3 too-small dims, ==4 aspect+payload.  Pure-python mirror side — the
+    hash gate ties the Spark query to this output bit-for-bit."""
+    from abwcf_spark.oracle_fixtures import (
+        build_image_caption_filter,
+        laion_corpus,
+        xxhash64_str,
+    )
+
+    cls = {
+        r["image_id"]: (xxhash64_str(r["url"]) & 0x7FFFFFFFFFFFFFFF) % 11
+        for r in laion_corpus().to_dict("records")
+    }
+    out = build_image_caption_filter()
+    assert len(out) > 0 and 0 < out.keep.sum() < len(out)
+    for r in out.to_dict("records"):
+        m = cls[r["image_id"]]
+        if m == 0:  # generic caption — 1 token ("photo") or 2; some pass
+            pass    # genericness is caption_dedup_generic's job, not length's
+        elif m == 1:
+            assert not r["ok_caption"] and not r["keep"], r
+        elif m == 2:
+            assert not r["ok_caption"] and not r["keep"], r
+        elif m == 3:
+            assert not r["ok_size"] and not r["keep"], r
+        elif m == 4:
+            assert not r["ok_aspect"] and not r["ok_payload"] and not r["keep"], r
+        else:
+            assert r["ok_size"] and r["ok_aspect"] and r["ok_payload"] \
+                and r["ok_caption"] and r["keep"], r
+
+
+def test_caption_dedup_generic_keeps_one_per_generic_caption():
+    from abwcf_spark.oracle_fixtures import (
+        CAPTION_GENERIC_MIN_IMAGES,
+        GENERIC_CAPTIONS,
+        build_caption_dedup_generic,
+        laion_corpus,
+    )
+
+    corpus = laion_corpus()
+    out = build_caption_dedup_generic().merge(
+        corpus[["image_id", "caption"]], on="image_id"
+    )
+    planted = out[out.caption.isin(GENERIC_CAPTIONS)]
+    assert planted.is_generic.sum() >= CAPTION_GENERIC_MIN_IMAGES
+    # the flag follows the >= N-distinct-images threshold exactly: a
+    # planted caption landing on fewer images legitimately stays specific
+    for cap, grp in planted.groupby("caption"):
+        expect = grp.image_id.nunique() >= CAPTION_GENERIC_MIN_IMAGES
+        assert (grp.is_generic == expect).all(), cap
+        if expect:
+            # exactly ONE keeper per generic caption: the min image_id
+            assert grp.keep.sum() == 1
+            assert grp.loc[grp.keep, "image_id"].iloc[0] == grp.image_id.min()
+    specific = out[~out.is_generic]
+    assert specific.keep.all(), "specifically-captioned images must all stay"
+    # no false generics: every flagged caption really spans >= N images
+    for cap, grp in out[out.is_generic].groupby("caption"):
+        assert grp.image_id.nunique() >= CAPTION_GENERIC_MIN_IMAGES
+
+
+def test_pii_redact_complete_and_clean_passthrough():
+    """After redaction NO pattern matches remain anywhere; planted counts
+    follow the doc_id%7 planting rule; docs planted with nothing pass
+    through byte-identical."""
+    import re
+
+    from abwcf_spark.oracle_fixtures import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        build_pii_redact,
+        pii_corpus,
+    )
+
+    out = build_pii_redact().merge(pii_corpus(), on="doc_id")
+    for r in out.to_dict("records"):
+        m = r["doc_id"] % 7
+        assert r["n_emails"] == (1 if m in (0, 3) else 0), r["doc_id"]
+        assert r["n_ips"] == (1 if m in (1, 3) else 0), r["doc_id"]
+        assert r["n_phones"] == (1 if m in (2, 3) else 0), r["doc_id"]
+        for pat in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE):
+            assert not re.search(pat, r["text_clean"]), (r["doc_id"], pat)
+        if m > 3:
+            assert r["text_clean"] == r["text"], "clean doc mutated"
+        else:
+            assert "<EMAIL>" in r["text_clean"] or "<IP>" in r["text_clean"] \
+                or "<PHONE>" in r["text_clean"]
