@@ -1454,12 +1454,15 @@ def laion_corpus() -> pd.DataFrame:
     keyed off the url hash so the mutation set is stable under corpus
     regeneration.  hv % 11: 0 -> generic caption, 1 -> one-char caption,
     2 -> overlong caption, 3 -> too-small metadata dims, 4 -> aspect-busting
-    width (also sinks bpp), else untouched."""
+    width (also sinks bpp), 5 -> pHash near-dup plant (this row's phash is
+    an earlier row's with one bit flipped — the recaptured/re-encoded image
+    case for the pipeline's near-dup stage; nothing else reads phash so the
+    filter/caption entries are untouched), else untouched."""
     from .testing.corpus import T2_MULTI, gen_corpus
 
     pdf = gen_corpus(T2_MULTI)["corpus"]
     pdf = pdf[pdf["bytes"].notna()][
-        ["image_id", "url", "bytes", "w", "h", "fmt", "caption"]
+        ["image_id", "url", "bytes", "w", "h", "fmt", "caption", "phash"]
     ].reset_index(drop=True)
     rows = []
     for r in pdf.to_dict("records"):
@@ -1475,6 +1478,9 @@ def laion_corpus() -> pd.DataFrame:
             r["w"], r["h"] = 12, 9
         elif m == 4:
             r["w"] = r["w"] * 8
+        elif m == 5 and rows:
+            anchor = rows[hv % len(rows)]
+            r["phash"] = int(anchor["phash"]) ^ (1 << (hv % 64))
         rows.append(r)
     return pd.DataFrame(rows)
 
@@ -1608,3 +1614,66 @@ def build_pii_redact() -> pd.DataFrame:
 
 
 BUILDERS["pii_redact"] = build_pii_redact
+
+
+def build_image_training_pipeline() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.image_training_pipeline — the composed
+    image-corpus curation: LAION-style filter -> generic-caption dedup
+    (among filter survivors) -> pHash near-dup keep-one (among survivors of
+    both, brute-force popcount + union-find, min-id canonical).  Stage
+    flags are False for rows dropped upstream (the stage never sees them)."""
+    corpus = laion_corpus()
+    fkeep = dict(zip(
+        build_image_caption_filter().image_id,
+        build_image_caption_filter().keep,
+    ))
+    s1 = [r for r in corpus.to_dict("records") if fkeep[r["image_id"]]]
+
+    by_cap: dict[str, list[str]] = {}
+    for r in s1:
+        by_cap.setdefault(r["caption"], []).append(r["image_id"])
+    ckeep = {}
+    for cap, ids in by_cap.items():
+        generic = len(set(ids)) >= CAPTION_GENERIC_MIN_IMAGES
+        rep = min(ids)
+        for i in ids:
+            ckeep[i] = (not generic) or i == rep
+    s2 = [r for r in s1 if ckeep[r["image_id"]]]
+
+    ids = sorted(r["image_id"] for r in s2)
+    ph = {r["image_id"]: int(r["phash"]) for r in s2}
+    parent = {v: v for v in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(ph[a] ^ ph[b]).count("1") <= PHASH_MAX_HAMMING:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+    nkeep = {v: find(v) == v for v in ids}
+
+    out = []
+    for r in corpus.to_dict("records"):
+        i = r["image_id"]
+        pf = bool(fkeep[i])
+        pc = bool(pf and ckeep.get(i, False))
+        pn = bool(pc and nkeep.get(i, False))
+        out.append((i, pf, pc, pn, pf and pc and pn))
+    return pd.DataFrame(
+        out,
+        columns=["image_id", "pass_filter", "pass_caption", "pass_neardup",
+                 "keep"],
+    ).astype({
+        "image_id": "object", "pass_filter": "bool", "pass_caption": "bool",
+        "pass_neardup": "bool", "keep": "bool",
+    })
+
+
+BUILDERS["image_training_pipeline"] = build_image_training_pipeline

@@ -2713,12 +2713,14 @@ def _laion_sdf(spark):
     return spark.createDataFrame(
         pdf.to_dict("records"),
         "image_id string, url string, bytes binary, w long, h long, "
-        "fmt string, caption string",
+        "fmt string, caption string, phash long",
     )
 
 
-@q("image_caption_filter", _fx("image_caption_filter"))
-def image_caption_filter(spark, sf_dir):
+def _icf_metrics(sdf: DataFrame) -> DataFrame:
+    """Append the filter's integer-milli metrics + per-rule flags + keep to
+    an (image_id, bytes, w, h, caption, ...) frame — one scan-stage
+    projection, shared by the standalone entry and the composed pipeline."""
     from .oracle_fixtures import (
         ICF_CAP_MAX_CHARS,
         ICF_CAP_MIN_CHARS,
@@ -2728,14 +2730,11 @@ def image_caption_filter(spark, sf_dir):
         ICF_MIN_SIDE,
     )
 
-    sdf = _laion_sdf(spark).repartition(8)
     cap_tokens = F.size(
         F.filter(F.split(F.col("caption"), r"\s+"), lambda x: x != "")
     ).cast("long")
     out = sdf.select(
-        "image_id",
-        F.col("w").cast("long").alias("w"),
-        F.col("h").cast("long").alias("h"),
+        "*",
         F.length("bytes").cast("long").alias("n_bytes"),
         F.expr("(1000 * greatest(w, h)) div least(w, h)").alias("aspect_milli"),
         F.expr("(1000 * length(bytes)) div (w * h)").alias("bpp_milli"),
@@ -2761,6 +2760,17 @@ def image_caption_filter(spark, sf_dir):
     )
 
 
+@q("image_caption_filter", _fx("image_caption_filter"))
+def image_caption_filter(spark, sf_dir):
+    return _icf_metrics(_laion_sdf(spark).repartition(8)).select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "n_bytes", "aspect_milli", "bpp_milli", "cap_chars", "cap_tokens",
+        "ok_size", "ok_aspect", "ok_payload", "ok_caption", "keep",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generic-caption dedup — captions shared by many DISTINCT images ("photo",
 # "untitled", camera-roll names) carry no supervision signal; the standard
@@ -2772,26 +2782,79 @@ def image_caption_filter(spark, sf_dir):
 # oracle_fixtures.build_caption_dedup_generic (pandas groupby).
 # ---------------------------------------------------------------------------
 
-@q("caption_dedup_generic", _fx("caption_dedup_generic"))
-def caption_dedup_generic(spark, sf_dir):
+def _caption_keep(sdf: DataFrame) -> DataFrame:
+    """Append (caption_images, is_generic, keep_caption) to an
+    (image_id, caption, ...) frame: one groupBy building the tiny
+    per-caption dim, broadcast back — shared by the standalone entry and
+    the composed pipeline."""
     from .oracle_fixtures import CAPTION_GENERIC_MIN_IMAGES
 
-    sdf = _laion_sdf(spark).select("image_id", "caption").repartition(8)
-    per_caption = sdf.groupBy("caption").agg(
+    per_caption = sdf.select("image_id", "caption").groupBy("caption").agg(
         F.count_distinct("image_id").cast("long").alias("caption_images"),
         F.min("image_id").alias("rep_image"),
     )
     return (
         sdf.join(F.broadcast(per_caption), "caption")
         .select(
-            "image_id",
-            "caption_images",
+            "*",
             (F.col("caption_images") >= CAPTION_GENERIC_MIN_IMAGES).alias(
                 "is_generic"
             ),
             (
                 (F.col("caption_images") < CAPTION_GENERIC_MIN_IMAGES)
                 | (F.col("image_id") == F.col("rep_image"))
+            ).alias("keep_caption"),
+        )
+        .drop("rep_image")
+    )
+
+
+@q("caption_dedup_generic", _fx("caption_dedup_generic"))
+def caption_dedup_generic(spark, sf_dir):
+    sdf = _laion_sdf(spark).select("image_id", "caption").repartition(8)
+    return _caption_keep(sdf).select(
+        "image_id", "caption_images", "is_generic",
+        F.col("keep_caption").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed image-corpus curation — the end-to-end pass a multimodal
+# training pipeline runs over crawled (image, caption) pairs, as ONE
+# entry: LAION-style filter -> generic-caption dedup among the filter's
+# survivors -> pHash near-dup keep-one (banded self-join + distributed
+# connected components, min-id canonical) among survivors of both.  Stage
+# flags are False for rows dropped upstream (the stage never saw them).
+# Shapes at 100 TB: scan-stage filter, broadcast caption dim, capped
+# banded join + O(log n) star iterations — no all-pairs product anywhere.
+# Mirror: oracle_fixtures.build_image_training_pipeline (brute popcount +
+# union-find over the same planted corpus, incl. the hv%11==5 one-bit
+# pHash near-dup plants).
+# ---------------------------------------------------------------------------
+
+@q("image_training_pipeline", _fx("image_training_pipeline"))
+def image_training_pipeline(spark, sf_dir):
+    base = _icf_metrics(_laion_sdf(spark).repartition(8)).select(
+        "image_id", "caption", "phash", F.col("keep").alias("pass_filter")
+    )
+    s1 = _caption_keep(base.where("pass_filter"))
+    s2 = s1.where("keep_caption").select("image_id", "phash")
+    canon = image_phash_clusters(s2).select(
+        "image_id", F.col("is_canonical").alias("pass_neardup")
+    )
+    return (
+        base.select("image_id", "pass_filter")
+        .join(s1.select("image_id", "keep_caption"), "image_id", "left")
+        .join(canon, "image_id", "left")
+        .select(
+            "image_id",
+            "pass_filter",
+            F.coalesce("keep_caption", F.lit(False)).alias("pass_caption"),
+            F.coalesce("pass_neardup", F.lit(False)).alias("pass_neardup"),
+            (
+                F.col("pass_filter")
+                & F.coalesce("keep_caption", F.lit(False))
+                & F.coalesce("pass_neardup", F.lit(False))
             ).alias("keep"),
         )
     )

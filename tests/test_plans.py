@@ -344,3 +344,13 @@ def test_pii_redact_is_pure_scan_stage(spark):
     p = plan(pii_redact(spark, _sf_dir("0.01")))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "Join" not in p and "HashAggregate" not in p, p
+
+
+def test_image_training_pipeline_no_cartesian(spark):
+    """The composed image curation (filter -> caption dedup -> pHash
+    keep-one) must stay product-free end to end: capped banded equi-joins
+    and broadcast dims only."""
+    from abwcf_spark.queries import image_training_pipeline
+
+    p = plan(image_training_pipeline(spark, _sf_dir("0.01")))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -835,3 +835,30 @@ def test_pii_redact_complete_and_clean_passthrough():
         else:
             assert "<EMAIL>" in r["text_clean"] or "<IP>" in r["text_clean"] \
                 or "<PHONE>" in r["text_clean"]
+
+
+def test_image_training_pipeline_stages_monotonic_and_neardups_collapse():
+    """keep => pass_neardup => pass_caption => pass_filter (a stage never
+    resurrects an upstream drop); the hv%11==5 planted one-bit pHash pairs
+    must collapse to one canonical survivor per cluster."""
+    from abwcf_spark.oracle_fixtures import (
+        build_image_training_pipeline,
+        laion_corpus,
+    )
+
+    out = build_image_training_pipeline()
+    assert ((~out.pass_filter) | True).all()  # schema sanity
+    assert not (out.pass_caption & ~out.pass_filter).any()
+    assert not (out.pass_neardup & ~out.pass_caption).any()
+    assert (out.keep == out.pass_neardup).all()  # keep is the last gate
+    # the near-dup stage must actually bite: among caption survivors some
+    # planted pHash pairs exist, and exactly the non-canonical side drops
+    dropped = out[out.pass_caption & ~out.pass_neardup]
+    assert len(dropped) > 0, "no near-dup collapse — plants all filtered?"
+    # every dropped row has a surviving Hamming<=3 partner that was kept
+    ph = dict(zip(laion_corpus().image_id, laion_corpus().phash))
+    kept = set(out[out.keep].image_id)
+    for i in dropped.image_id:
+        assert any(
+            bin(int(ph[i]) ^ int(ph[k])).count("1") <= 3 for k in kept
+        ), f"{i} dropped with no kept near-dup partner"
