@@ -1677,3 +1677,61 @@ def build_image_training_pipeline() -> pd.DataFrame:
 
 
 BUILDERS["image_training_pipeline"] = build_image_training_pipeline
+
+
+def caption_consolidation_corpus() -> pd.DataFrame:
+    """(image_id, url, bytes, caption): the laion corpus plus, for rows
+    with hv%11==6, a byte-IDENTICAL re-crawl under a different URL whose
+    caption differs — alternately richer (the re-crawl should win) or a
+    bare generic (the original should win).  The consolidation op must
+    keep exactly one caption per content group: most tokens, ties to the
+    lowest image_id."""
+    base = laion_corpus()[["image_id", "url", "bytes", "caption"]]
+    extra = []
+    for r in base.to_dict("records"):
+        hv = xxhash64_str(r["url"]) & 0x7FFFFFFFFFFFFFFF
+        if hv % 11 == 6:
+            dup = dict(r)
+            dup["image_id"] = r["image_id"] + "-re"
+            dup["url"] = r["url"] + "?re=1"
+            if (hv >> 4) % 2 == 0:
+                dup["caption"] = r["caption"] + " with extra descriptive detail"
+            else:
+                dup["caption"] = "photo"
+            extra.append(dup)
+    return pd.concat([base, pd.DataFrame(extra)], ignore_index=True)
+
+
+def build_image_caption_consolidate() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.image_caption_consolidate: hashlib md5
+    + pandas groupby (max tokens, ties to min image_id)."""
+    import hashlib
+
+    pdf = caption_consolidation_corpus()
+    rows = []
+    for r in pdf.to_dict("records"):
+        rows.append((
+            r["image_id"],
+            hashlib.md5(bytes(r["bytes"])).hexdigest(),
+            len(tokens_of(r["caption"])),
+        ))
+    tmp = pd.DataFrame(rows, columns=["image_id", "content_md5", "cap_tokens"])
+    out = []
+    for md5h, grp in tmp.groupby("content_md5"):
+        best = int(grp.cap_tokens.max())
+        keep_image = grp[grp.cap_tokens == best].image_id.min()
+        for r in grp.to_dict("records"):
+            out.append((
+                r["image_id"], md5h, len(grp), r["cap_tokens"],
+                r["image_id"] == keep_image,
+            ))
+    return pd.DataFrame(
+        out,
+        columns=["image_id", "content_md5", "n_copies", "cap_tokens", "keep"],
+    ).astype({
+        "image_id": "object", "content_md5": "object", "n_copies": "int64",
+        "cap_tokens": "int64", "keep": "bool",
+    })
+
+
+BUILDERS["image_caption_consolidate"] = build_image_caption_consolidate

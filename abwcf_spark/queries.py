@@ -2896,3 +2896,61 @@ def pii_redact(spark, sf_dir):
         F.regexp_count(t2, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         t3.alias("text_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Caption CONSOLIDATION on exact-duplicate images — the same image crawled
+# at many URLs carries different captions; training pipelines keep ONE
+# (image, caption) pair per content group with the most informative
+# caption (most tokens, ties to the lowest image_id).  Shape: jvm md5
+# over the binary column (16-byte digests are the only shuffle keys —
+# payload bytes never move), then TWO digest-keyed aggregations (max
+# token count, then min image_id among the maximal rows) — both
+# partial-agg friendly, no window over content groups, string ids
+# supported without the numeric negate trick keep-best uses.  Mirror:
+# oracle_fixtures.build_image_caption_consolidate (hashlib + pandas) over
+# planted byte-identical re-crawls whose captions are alternately richer
+# (re-crawl wins) or generic (original wins).
+# ---------------------------------------------------------------------------
+
+@q("image_caption_consolidate", _fx("image_caption_consolidate"))
+def image_caption_consolidate(spark, sf_dir):
+    import pandas as pd
+
+    from .oracle_fixtures import caption_consolidation_corpus
+
+    pdf = caption_consolidation_corpus()
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    sdf = spark.createDataFrame(
+        pdf.to_dict("records"),
+        "image_id string, url string, bytes binary, caption string",
+    ).repartition(8)
+    cap_tokens = F.size(
+        F.filter(F.split(F.col("caption"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    scored = sdf.select(
+        "image_id",
+        F.md5("bytes").alias("content_md5"),
+        cap_tokens.alias("cap_tokens"),
+    )
+    best_n = scored.groupBy("content_md5").agg(
+        F.max("cap_tokens").alias("best_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    keeper = (
+        scored.join(best_n, "content_md5")
+        .where(F.col("cap_tokens") == F.col("best_tokens"))
+        .groupBy("content_md5")
+        .agg(F.min("image_id").alias("keep_image"))
+    )
+    return (
+        scored.join(best_n.select("content_md5", "n_copies"), "content_md5")
+        .join(keeper, "content_md5")
+        .select(
+            "image_id",
+            "content_md5",
+            "n_copies",
+            "cap_tokens",
+            (F.col("image_id") == F.col("keep_image")).alias("keep"),
+        )
+    )

@@ -862,3 +862,27 @@ def test_image_training_pipeline_stages_monotonic_and_neardups_collapse():
         assert any(
             bin(int(ph[i]) ^ int(ph[k])).count("1") <= 3 for k in kept
         ), f"{i} dropped with no kept near-dup partner"
+
+
+def test_image_caption_consolidate_richer_caption_wins():
+    """Both planted directions must resolve correctly: where the re-crawl
+    carries the richer caption it wins the content group; where it carries
+    a bare generic the original wins.  Singleton groups keep their row."""
+    from abwcf_spark.oracle_fixtures import (
+        build_image_caption_consolidate,
+        caption_consolidation_corpus,
+    )
+
+    corpus = caption_consolidation_corpus()
+    caps = dict(zip(corpus.image_id, corpus.caption))
+    out = build_image_caption_consolidate()
+    multi = out[out.n_copies > 1]
+    assert len(multi) > 0 and (multi.n_copies == 2).all()
+    for md5h, grp in multi.groupby("content_md5"):
+        orig = grp[~grp.image_id.str.endswith("-re")].iloc[0]
+        re_ = grp[grp.image_id.str.endswith("-re")].iloc[0]
+        if caps[re_.image_id] == "photo":
+            assert orig.keep and not re_.keep, md5h
+        else:
+            assert re_.keep and not orig.keep, md5h
+    assert out[out.n_copies == 1].keep.all()
