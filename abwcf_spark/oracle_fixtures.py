@@ -1735,3 +1735,36 @@ def build_image_caption_consolidate() -> pd.DataFrame:
 
 
 BUILDERS["image_caption_consolidate"] = build_image_caption_consolidate
+
+
+# Aspect-ratio bucketing (the SDXL-style training-batch grouping): every
+# image is assigned the NEAREST target aspect from a small fixed table so
+# batches can be formed from same-bucket images without destructive crops.
+ASPECT_BUCKETS_MILLI = [500, 750, 1000, 1333, 1500, 2000]  # w/h * 1000
+
+
+def build_image_aspect_buckets() -> pd.DataFrame:
+    """INDEPENDENT mirror of queries.image_aspect_buckets: pure-python
+    nearest-bucket (ties to the SMALLER target) + per-bucket counts."""
+    pdf = laion_corpus()
+    rows = []
+    for r in pdf.to_dict("records"):
+        w, h = int(r["w"]), int(r["h"])
+        aspect = (1000 * w) // h
+        bucket = min(
+            ASPECT_BUCKETS_MILLI, key=lambda b: (abs(aspect - b), b)
+        )
+        rows.append((r["image_id"], w, h, aspect, bucket))
+    tmp = pd.DataFrame(
+        rows, columns=["image_id", "w", "h", "aspect_milli", "bucket_milli"]
+    )
+    sizes = tmp.groupby("bucket_milli").size().to_dict()
+    tmp["bucket_images"] = tmp.bucket_milli.map(sizes)
+    return tmp.astype({
+        "image_id": "object", "w": "int64", "h": "int64",
+        "aspect_milli": "int64", "bucket_milli": "int64",
+        "bucket_images": "int64",
+    })
+
+
+BUILDERS["image_aspect_buckets"] = build_image_aspect_buckets

@@ -2954,3 +2954,41 @@ def image_caption_consolidate(spark, sf_dir):
             (F.col("image_id") == F.col("keep_image")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio BUCKETING — the SDXL-style batch-grouping pass image
+# training pipelines run after filtering: every image gets the NEAREST
+# target aspect from a small fixed bucket table (ties to the smaller
+# target) so training batches form from same-bucket images without
+# destructive crops.  Shape: the bucket table is a literal array folded
+# in the scan stage (integer milli-aspect, sort_array over (distance,
+# bucket) structs — no UDF, no join for the assignment); per-bucket
+# counts come back via one broadcast of the tiny bucket dim.  Mirror:
+# oracle_fixtures.build_image_aspect_buckets.
+# ---------------------------------------------------------------------------
+
+@q("image_aspect_buckets", _fx("image_aspect_buckets"))
+def image_aspect_buckets(spark, sf_dir):
+    from .oracle_fixtures import ASPECT_BUCKETS_MILLI
+
+    sdf = _laion_sdf(spark).select("image_id", "w", "h").repartition(8)
+    arr = ",".join(str(b) for b in ASPECT_BUCKETS_MILLI)
+    assigned = sdf.select(
+        "image_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.expr("(1000 * w) div h").alias("aspect_milli"),
+    ).select(
+        "*",
+        F.expr(
+            f"sort_array(transform(array({arr}), "
+            "b -> struct(abs(aspect_milli - b) AS d, b AS b)))[0].b"
+        ).cast("long").alias("bucket_milli"),
+    )
+    counts = assigned.groupBy("bucket_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_images")
+    )
+    return assigned.join(F.broadcast(counts), "bucket_milli").select(
+        "image_id", "w", "h", "aspect_milli", "bucket_milli", "bucket_images"
+    )

@@ -886,3 +886,25 @@ def test_image_caption_consolidate_richer_caption_wins():
         else:
             assert re_.keep and not orig.keep, md5h
     assert out[out.n_copies == 1].keep.all()
+
+
+def test_image_aspect_buckets_nearest_with_small_tie():
+    """Every image lands in the nearest bucket (ties to the smaller
+    target), every bucket count equals its member count, and the corpus's
+    planted aspect-busting rows (hv%11==4, w*8) land in the widest bucket."""
+    from abwcf_spark.oracle_fixtures import (
+        ASPECT_BUCKETS_MILLI,
+        build_image_aspect_buckets,
+    )
+
+    out = build_image_aspect_buckets()
+    for r in out.to_dict("records"):
+        d0 = abs(r["aspect_milli"] - r["bucket_milli"])
+        for b in ASPECT_BUCKETS_MILLI:
+            d = abs(r["aspect_milli"] - b)
+            assert d > d0 or (d == d0 and b >= r["bucket_milli"]), r
+    sizes = out.groupby("bucket_milli").size()
+    for b, grp in out.groupby("bucket_milli"):
+        assert (grp.bucket_images == sizes[b]).all()
+    wide = out[out.aspect_milli > 4000]
+    assert len(wide) > 0 and (wide.bucket_milli == max(ASPECT_BUCKETS_MILLI)).all()
