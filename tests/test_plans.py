@@ -354,3 +354,27 @@ def test_image_training_pipeline_no_cartesian(spark):
 
     p = plan(image_training_pipeline(spark, _sf_dir("0.01")))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_image_caption_consolidate_digest_joins_only(spark):
+    """Consolidation joins are digest-keyed equi-joins (at scale the
+    per-content dim is image-count-sized — it must NOT rely on a
+    cartesian/nested-loop shape, and payload bytes must not be shuffle
+    keys: the only md5() appears in the scan-stage projection)."""
+    from abwcf_spark.queries import image_caption_consolidate
+
+    p = plan(image_caption_consolidate(spark, _sf_dir("0.01")))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_image_aspect_buckets_assignment_is_joinless(spark):
+    """The bucket assignment folds a literal array in the scan stage; the
+    ONLY join in the plan is the broadcast of the tiny per-bucket counts."""
+    from abwcf_spark.queries import image_aspect_buckets
+
+    p = plan(image_aspect_buckets(spark, _sf_dir("0.01")))
+    assert "BroadcastHashJoin" in p, p
+    for other in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"):
+        assert other not in p, other
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
