@@ -2784,9 +2784,13 @@ def image_caption_filter(spark, sf_dir):
 
 def _caption_keep(sdf: DataFrame) -> DataFrame:
     """Append (caption_images, is_generic, keep_caption) to an
-    (image_id, caption, ...) frame: one groupBy building the tiny
-    per-caption dim, broadcast back — shared by the standalone entry and
-    the composed pipeline."""
+    (image_id, caption, ...) frame: one groupBy building the per-caption
+    dim, joined back on caption — shared by the standalone entry and the
+    composed pipeline.  NO forced broadcast: at 100 TB the caption dim is
+    caption-cardinality-sized (billions of rows), so the scale shape is
+    the caption-keyed equi-join — the dim side is ALREADY hash-partitioned
+    on caption by its groupBy, and AQE converts to broadcast at runtime
+    whenever the dim is actually small (it is at gate scale)."""
     from .oracle_fixtures import CAPTION_GENERIC_MIN_IMAGES
 
     per_caption = sdf.select("image_id", "caption").groupBy("caption").agg(
@@ -2794,7 +2798,7 @@ def _caption_keep(sdf: DataFrame) -> DataFrame:
         F.min("image_id").alias("rep_image"),
     )
     return (
-        sdf.join(F.broadcast(per_caption), "caption")
+        sdf.join(per_caption, "caption")
         .select(
             "*",
             (F.col("caption_images") >= CAPTION_GENERIC_MIN_IMAGES).alias(

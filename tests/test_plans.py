@@ -325,15 +325,18 @@ def test_image_caption_filter_is_pure_scan_stage(spark):
     assert "HashAggregate" not in p, p
 
 
-def test_caption_dedup_generic_broadcasts_caption_dim(spark):
-    """The per-caption dim (distinct captions << images) must come back via
-    a broadcast equi-join — a sort-merge here would shuffle the corpus by
-    caption a second time."""
+def test_caption_dedup_generic_equi_join_no_product(spark):
+    """The per-caption dim comes back via a caption-keyed EQUI-join with
+    no forced broadcast (at 100 TB the dim is caption-cardinality-sized;
+    AQE converts to broadcast at runtime when it is actually small) —
+    never a cartesian/nested-loop product, and never a window over the
+    unpartitioned corpus."""
     from abwcf_spark.queries import caption_dedup_generic
 
     p = plan(caption_dedup_generic(spark, _sf_dir("0.01")))
-    assert "BroadcastHashJoin" in p, p
+    assert "Join caption" in p or "SortMergeJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p, p
 
 
 def test_pii_redact_is_pure_scan_stage(spark):
