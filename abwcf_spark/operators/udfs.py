@@ -164,40 +164,100 @@ def validate_payload_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: decode image bytes, check PSNR/exactness vs the
     deterministically regenerated reference pixels, phash Hamming distance,
-    and caption equality (input_hint row invariant).  Arrow-batched; the
-    per-image decode is numpy (variable-size images force per-image calls,
-    but all pixel math is vectorized)."""
+    and caption equality (input_hint row invariant).
+
+    Decode and reference synthesis stay per-image (independent RNG streams /
+    variable payloads), but all pixel math — exact-equality, PSNR, phash —
+    runs vectorized over same-shape image stacks via the bit-exact batched
+    kernels (phash64_batch emulates numpy's pairwise reduction order, so
+    every decision is identical to the per-image path; asserted in
+    tests/test_payload_vectorized.py and verified exhaustively over the
+    bench corpus)."""
     from ..kernels.hashing import xxhash64_str
     from ..kernels.imagecodec import (
         LOSSY_PSNR_THRESHOLD_DB,
         decode_image,
         gen_pixels,
-        phash64,
-        psnr,
+        phash64_batch,
     )
 
     for pdf in batches:
-        oks = np.zeros(len(pdf), dtype=bool)
-        for i, row in enumerate(pdf.itertuples(index=False)):
-            try:
-                px = decode_image(bytes(row.bytes))
-            except (ValueError, TypeError):
-                continue
-            ref = gen_pixels(str(row.image_id), int(row.w), int(row.h))
-            if row.fmt == "png":
-                pix_ok = px.shape == ref.shape and bool((px == ref).all())
-                ham_ok = phash64(px) == int(row.phash)
-            else:
-                pix_ok = psnr(px, ref) >= LOSSY_PSNR_THRESHOLD_DB
-                ham = bin(
-                    (phash64(px) ^ int(row.phash)) & ((1 << 64) - 1)
-                ).count("1")
-                ham_ok = ham <= 8
-            expected_caption = (
-                f"caption of {row.image_id}: deterministic text "
-                + str((xxhash64_str(str(row.url)) & 0x7FFFFFFFFFFFFFFF) % 1000)
-            )
-            oks[i] = pix_ok and ham_ok and row.caption == expected_caption
+        n = len(pdf)
+        oks = np.zeros(n, dtype=bool)
+        if n:
+            urls = pdf["url"].to_numpy(dtype=object)
+            img_ids = pdf["image_id"].to_numpy(dtype=object)
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            fmts = pdf["fmt"].to_numpy(dtype=object)
+            caps = pdf["caption"].to_numpy(dtype=object)
+            phs = pdf["phash"].to_numpy()
+            blobs = pdf["bytes"].to_numpy(dtype=object)
+            groups: dict = {}  # (h, w, is_png) → ([row idx], [decoded px])
+            for i in range(n):
+                try:
+                    px = decode_image(bytes(blobs[i]))
+                except (ValueError, TypeError):
+                    continue
+                h, w = int(hs[i]), int(ws[i])
+                if px.shape != (h, w, 3):
+                    continue  # shape mismatch fails pix_ok on both branches
+                g = groups.setdefault((h, w, fmts[i] == "png"), ([], []))
+                g[0].append(i)
+                g[1].append(px)
+            for (h, w, is_png), (idxs, pxs) in groups.items():
+                idx = np.asarray(idxs, dtype=np.int64)
+                px_stack = np.stack(pxs)
+                ref_stack = np.stack(
+                    [gen_pixels(str(img_ids[i]), w, h) for i in idxs]
+                )
+                ph = phash64_batch(px_stack)
+                row_ph = phs[idx].astype(np.int64)
+                if is_png:
+                    pix_ok = (
+                        (px_stack == ref_stack).reshape(len(idx), -1).all(axis=1)
+                    )
+                    ham_ok = ph == row_ph
+                else:
+                    d = px_stack.astype(np.int64) - ref_stack.astype(np.int64)
+                    sq = np.einsum("nijk,nijk->n", d, d)
+                    # exact: integer sum < 2^53, so sum/size == np.mean(...)
+                    mse = sq.astype(np.float64) / float(h * w * 3)
+                    # scalar np.log10 per element — the same scalar call the
+                    # per-image psnr() makes, so boundary rounding matches
+                    pix_ok = np.fromiter(
+                        (
+                            m == 0.0
+                            or float(10.0 * np.log10(255.0 * 255.0 / m))
+                            >= LOSSY_PSNR_THRESHOLD_DB
+                            for m in mse
+                        ),
+                        dtype=bool,
+                        count=len(idx),
+                    )
+                    x = np.bitwise_xor(ph, row_ph).view(np.uint64)
+                    ham = (
+                        np.unpackbits(x.view(np.uint8))
+                        .reshape(len(idx), 64)
+                        .sum(axis=1)
+                    )
+                    ham_ok = ham <= 8
+                cap_ok = np.fromiter(
+                    (
+                        caps[i]
+                        == (
+                            f"caption of {img_ids[i]}: deterministic text "
+                            + str(
+                                (xxhash64_str(str(urls[i])) & 0x7FFFFFFFFFFFFFFF)
+                                % 1000
+                            )
+                        )
+                        for i in idxs
+                    ),
+                    dtype=bool,
+                    count=len(idx),
+                )
+                oks[idx] = pix_ok & ham_ok & cap_ok
         yield pd.DataFrame({"url": pdf["url"].astype(object), "payload_ok": oks})
 
 

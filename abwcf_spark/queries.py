@@ -510,9 +510,12 @@ def simhash_fingerprint(spark, sf_dir):
 QUERIES["simhash_fingerprint"] = simhash_fingerprint
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct word 3-grams — per-row array transform,
-    NO window/shuffle (tokens never leave their row before the distinct)."""
+def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>): per-doc DISTINCT word 3-grams as a
+    per-row array — array_distinct inside the row, so the shingle set never
+    shuffles (round-6 rewrite: the old explode + global ``.distinct()``
+    shuffled every shingle string; per-doc distinct is set-identical because
+    doc_id is part of the key)."""
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
     d = docs.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
@@ -525,7 +528,17 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
             " ", F.get("toks", i), F.get("toks", i + 1), F.get("toks", i + 2)
         ),
     )
-    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct word 3-grams — per-row array transform,
+    NO window/shuffle (the distinct happens inside the row via
+    _doc_shingle_arrays; exploding a per-doc-distinct array is set-identical
+    to the old global distinct)."""
+    return _doc_shingle_arrays(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def _minhash_melted(
@@ -565,38 +578,135 @@ def _minhash_melted(
     ).select("doc_id", "bb.b", "bb.bucket")
 
 
+def _melted_from_arrays(
+    arr: DataFrame, perms: int, bands: int, salt: str
+) -> DataFrame:
+    """Per-row banded MinHash signature from a (doc_id, shingles array) —
+    the whole signature computes inside the row (array_min over a
+    per-element xxhash64 transform), so melting to (doc_id, b, bucket) costs
+    ZERO shuffles (round-6 rewrite of the explode → 2-shuffle groupBy path;
+    min over the per-doc distinct set == min over the old exploded rows).
+    Docs with no shingles are excluded, exactly like their absence from the
+    old (doc_id, shingle) table."""
+    rows_per_band = perms // bands
+    d = arr.where(F.size("shingles") > 0)
+
+    def _perm_hash(prefix):
+        # one-arg lambda via closure: a two-arg lambda would be treated by
+        # F.transform as the (element, index) form
+        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+    mins = [
+        F.array_min(
+            F.transform("shingles", _perm_hash(f"{salt}{i}|"))
+        ).alias(f"m{i}")
+        for i in range(perms)
+    ]
+    sig = d.select("doc_id", *mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.xxhash64(
+                F.concat_ws(
+                    "|", F.lit(b),
+                    *[F.col(f"m{rows_per_band * b + r}") for r in range(rows_per_band)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.b", "bb.bucket")
+
+
 def _lsh_jaccard_pairs(
-    shingles: DataFrame, perms: int, bands: int, cap: int, salt: str
+    docs: DataFrame, build_arr, perms: int, bands: int, cap: int, salt: str
 ) -> DataFrame:
     """Shared banded-MinHash candidate generation + exact-Jaccard confirm
-    over a (doc_id, shingle) set — entirely Catalyst built-ins:
+    over per-row shingle arrays (``build_arr``: docs → (doc_id, shingles))
+    — entirely Catalyst built-ins:
 
-    shingle set → banded signature (``_minhash_melted``) → band-bucket
-    self-join → distinct (a < b) pairs → exact-Jaccard confirm over the
-    candidate pairs (integer milli-Jaccard, no float reductions).
+    per-row shingle set → per-row banded signature (``_melted_from_arrays``,
+    no shuffle) → ONE bucket groupBy collecting member lists → in-row
+    (a < b) pair enumeration → distinct pairs → exact-Jaccard confirm via
+    array_intersect over the candidate docs' arrays only.
 
-    100-TB shape: the band-bucket join replaces the all-pairs product; hot
+    100-TB shape: the bucket groupBy replaces the all-pairs product; hot
     buckets (empty/boilerplate docs all hashing together) are CAPPED at
     ``cap`` members and dropped above it, bounding any bucket's quadratic
-    blowup.  The Jaccard confirm touches only candidate pairs (broadcast
-    into the shingle scan), never the full corpus."""
-    melted = _minhash_melted(shingles, perms, bands, salt)
-    ok_buckets = (
+    blowup (pair lists are ≤ cap²/2 per bucket).  The confirm semi-joins
+    the corpus down to candidate docs BEFORE shingling, so full-corpus text
+    is scanned exactly twice (signatures + confirm filter) and never
+    shuffled.  Round 6: this replaced a 104-Exchange plan (explode +
+    global distinct + 3× recomputed signature subtrees + bucket self-join)
+    with a 2-shuffle plan — set-identical output (same hashes, same caps,
+    same integer Jaccard)."""
+    arr = build_arr(docs)
+    melted = _melted_from_arrays(arr, perms, bands, salt)
+    members = (
         melted.groupBy("b", "bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .where((F.col("ct") >= 2) & (F.col("ct") <= cap))
-        .select("b", "bucket")
+        .agg(F.collect_list("doc_id").alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= cap))
+        .select(F.array_sort("ms").alias("ms"))
     )
-    capped = melted.join(ok_buckets, ["b", "bucket"])
+    # in-row (a < b) enumeration over the sorted member list — the same
+    # pair set the old bucket self-join produced, without rejoining
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ms") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ms") - 1),
+                lambda j: F.struct(
+                    F.get("ms", i).alias("doc_a"), F.get("ms", j).alias("doc_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        capped.select("b", "bucket", F.col("doc_id").alias("doc_a"))
-        .join(capped.select("b", "bucket", F.col("doc_id").alias("doc_b")),
-              ["b", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return _jaccard_confirm(shingles, pairs)
+    return _jaccard_confirm_arrays(docs, build_arr, pairs)
+
+
+def _jaccard_confirm_arrays(
+    docs: DataFrame, build_arr, pairs: DataFrame
+) -> DataFrame:
+    """Exact set-Jaccard (integer milli) for candidate (doc_a, doc_b) pairs:
+    semi-join the corpus down to candidate docs FIRST (tiny pair-doc set
+    broadcast into the docs scan — the full corpus is never shingled here,
+    only filtered), then join each pair to its two shingle ARRAYS and
+    compute the intersection in-row (array_intersect of per-doc-distinct
+    arrays == the old exploded-row intersection count)."""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_arr = build_arr(
+        docs.join(F.broadcast(cand_docs), "doc_id", "semi")
+    )
+    sa = cand_arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = cand_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter_ct = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.lit(1000) * inter_ct
+                / (F.size("sh_a") + F.size("sh_b") - inter_ct)
+            ).cast("long").alias("jaccard_milli"),
+        )
+    )
 
 
 def _jaccard_confirm(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -656,24 +766,33 @@ def minhash_lsh_candidates(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _lsh_jaccard_pairs(
-        _doc_shingles(docs), MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
+        docs, _doc_shingle_arrays,
+        MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
     )
 
 
 QUERIES["minhash_lsh_candidates"] = minhash_lsh_candidates
 
 
-def _doc_char_ngrams(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle): distinct CHARACTER n-grams — per-row substring
-    transform, no shuffle before the distinct (Column.substr accepts
-    Column positions, so the gram window slides inside one expression)."""
+def _doc_char_ngram_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingles array<string>): per-doc DISTINCT character n-grams
+    as a per-row array (array_distinct in the row — no shuffle; set-identical
+    to the old global distinct because doc_id keys the set)."""
     d = docs.select("doc_id", "text")
     ln = F.length("text")
     idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(n)))
-    return d.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    return d.select("doc_id", F.array_distinct(grams).alias("shingles"))
+
+
+def _doc_char_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle): distinct CHARACTER n-grams — per-row substring
+    transform + in-row distinct, exploded (no shuffle)."""
+    return _doc_char_ngram_arrays(docs, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -696,7 +815,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _lsh_jaccard_pairs(
-        _doc_char_ngrams(docs, NGJ_N), NGJ_PERMS, NGJ_BANDS, NGJ_BUCKET_CAP, "q"
+        docs, lambda d: _doc_char_ngram_arrays(d, NGJ_N),
+        NGJ_PERMS, NGJ_BANDS, NGJ_BUCKET_CAP, "q"
     ).where(F.col("jaccard_milli") >= NGJ_THRESHOLD_MILLI)
 
 
@@ -1669,7 +1789,8 @@ def near_dup_clusters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = _lsh_jaccard_pairs(
-        _doc_shingles(docs), MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
+        docs, _doc_shingle_arrays,
+        MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
     ).where(F.col("jaccard_milli") >= CLUSTER_THRESHOLD_MILLI)
     cc = connected_components(pairs, a="doc_a", b="doc_b")
     labeled = (
