@@ -289,9 +289,14 @@ def _sum_last_exact(a: np.ndarray) -> np.ndarray:
 
 def _gray_exact(stack: np.ndarray) -> np.ndarray:
     """(N, h, w, 3) uint8 → (N, h, w) float64 channel mean, bit-identical
-    to ``pixels.astype(np.float64).mean(axis=2)`` (sequential 3-term sum)."""
-    a = stack.astype(np.float64)
-    return ((a[..., 0] + a[..., 1]) + a[..., 2]) / 3.0
+    to ``pixels.astype(np.float64).mean(axis=2)``: the 3-channel sum is an
+    integer ≤ 765, exact in uint16 AND in the float64 adds the scalar path
+    performs, so summing in uint16 first (one f64 conversion instead of
+    three) yields the identical quotient."""
+    s = stack[..., 0].astype(np.uint16)
+    s += stack[..., 1]
+    s += stack[..., 2]
+    return s.astype(np.float64) / 3.0
 
 
 _PHASH_IDX_CACHE: dict = {}

@@ -219,9 +219,12 @@ def validate_payload_batches(
                     )
                     ham_ok = ph == row_ph
                 else:
-                    d = px_stack.astype(np.int64) - ref_stack.astype(np.int64)
-                    sq = np.einsum("nijk,nijk->n", d, d)
-                    # exact: integer sum < 2^53, so sum/size == np.mean(...)
+                    # int16 holds any uint8 difference exactly; the einsum
+                    # accumulates in int64 (max sum ≈ 1.4e9), so mse is the
+                    # exact integer np.mean((a-b)**2) would produce
+                    d = px_stack.astype(np.int16)
+                    d -= ref_stack
+                    sq = np.einsum("nijk,nijk->n", d, d, dtype=np.int64)
                     mse = sq.astype(np.float64) / float(h * w * 3)
                     # scalar np.log10 per element — the same scalar call the
                     # per-image psnr() makes, so boundary rounding matches

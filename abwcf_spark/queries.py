@@ -73,7 +73,13 @@ def o3_regex_filter(spark, sf_dir):
 def o5_anti_join_dedup(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return customer.join(orders, "c_custkey", "left_anti").select("c_custkey", "c_name")
+    # broadcast the probe-key side: the anti join then stays a customer
+    # SCAN (no exchange on either side — the engine's URL-seen shape);
+    # 1.5M bigint keys ≈ 12 MB, far under the broadcast cap, vs two full
+    # shuffles for the sort-merge alternative
+    return customer.join(
+        F.broadcast(orders), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 # ---------------------------------------------------------------------------
@@ -510,12 +516,9 @@ def simhash_fingerprint(spark, sf_dir):
 QUERIES["simhash_fingerprint"] = simhash_fingerprint
 
 
-def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles array<string>): per-doc DISTINCT word 3-grams as a
-    per-row array — array_distinct inside the row, so the shingle set never
-    shuffles (round-6 rewrite: the old explode + global ``.distinct()``
-    shuffled every shingle string; per-doc distinct is set-identical because
-    doc_id is part of the key)."""
+def _word_shingle_expr(docs: DataFrame):
+    """(projected docs, shingle-array Column) for word 3-grams — the shared
+    building block of the raw/distinct/array forms below."""
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
     d = docs.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
@@ -528,17 +531,47 @@ def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
             " ", F.get("toks", i), F.get("toks", i + 1), F.get("toks", i + 2)
         ),
     )
+    return d, sh
+
+
+def _doc_shingles_raw(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): word 3-grams WITH per-doc duplicates — for
+    consumers whose aggregate is duplicate-insensitive (MinHash min).
+    Skipping the distinct matters twice: no shuffle of shingle strings,
+    and no array_distinct under an explode (an O(n²) distinct inside the
+    exploded array expression measured 84 s vs 2 s at sf1.0).
+
+    The explode runs over the cheap INT index array; the shingle string is
+    assembled ABOVE the Generate from the materialized ``toks`` column —
+    building the full string array under the explode measured ~2× slower
+    (2.16 s vs 1.13 s at sf1.0)."""
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    i = F.col("_i")
+    return d.select("doc_id", "toks", F.explode(idx).alias("_i")).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.get("toks", i), F.get("toks", i + 1), F.get("toks", i + 2)
+        ).alias("shingle"),
+    )
+
+
+def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>): per-doc DISTINCT word 3-grams as a
+    per-row array (array_distinct inside the row — never exploded; used by
+    the array_intersect Jaccard confirm)."""
+    d, sh = _word_shingle_expr(docs)
     return d.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle): distinct word 3-grams — per-row array transform,
-    NO window/shuffle (the distinct happens inside the row via
-    _doc_shingle_arrays; exploding a per-doc-distinct array is set-identical
-    to the old global distinct)."""
-    return _doc_shingle_arrays(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    NO window/shuffle (tokens never leave their row before the distinct)."""
+    return _doc_shingles_raw(docs).distinct()
 
 
 def _minhash_melted(
@@ -578,31 +611,29 @@ def _minhash_melted(
     ).select("doc_id", "bb.b", "bb.bucket")
 
 
-def _melted_from_arrays(
-    arr: DataFrame, perms: int, bands: int, salt: str
+def _melted_from_raw(
+    raw: DataFrame, perms: int, bands: int, salt: str
 ) -> DataFrame:
-    """Per-row banded MinHash signature from a (doc_id, shingles array) —
-    the whole signature computes inside the row (array_min over a
-    per-element xxhash64 transform), so melting to (doc_id, b, bucket) costs
-    ZERO shuffles (round-6 rewrite of the explode → 2-shuffle groupBy path;
-    min over the per-doc distinct set == min over the old exploded rows).
-    Docs with no shingles are excluded, exactly like their absence from the
-    old (doc_id, shingle) table."""
+    """Banded MinHash signature from RAW (doc_id, shingle) rows (per-doc
+    duplicates allowed — min is duplicate-insensitive, so the signature is
+    identical to the distinct-set form), melted to (doc_id, b, bucket).
+    The permutation hashes are flat codegen'd projections (a higher-order
+    transform() with xxhash64 inside falls back to interpreted per-element
+    evaluation — measured ~40× slower at sf1.0), and the only exchange is
+    the groupBy(min) whose map-side partial aggregation ships just
+    ``perms`` longs per doc per partition; the shingle STRINGS never
+    shuffle (the old global .distinct() shipped them all)."""
     rows_per_band = perms // bands
-    d = arr.where(F.size("shingles") > 0)
-
-    def _perm_hash(prefix):
-        # one-arg lambda via closure: a two-arg lambda would be treated by
-        # F.transform as the (element, index) form
-        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
-
-    mins = [
-        F.array_min(
-            F.transform("shingles", _perm_hash(f"{salt}{i}|"))
-        ).alias(f"m{i}")
-        for i in range(perms)
-    ]
-    sig = d.select("doc_id", *mins)
+    hashes = raw.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.concat(F.lit(f"{salt}{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(perms)
+        ],
+    )
+    sig = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(perms)]
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("b"),
@@ -621,16 +652,20 @@ def _melted_from_arrays(
 
 
 def _lsh_jaccard_pairs(
-    docs: DataFrame, build_arr, perms: int, bands: int, cap: int, salt: str
+    docs: DataFrame, build_raw, build_arr,
+    perms: int, bands: int, cap: int, salt: str
 ) -> DataFrame:
-    """Shared banded-MinHash candidate generation + exact-Jaccard confirm
-    over per-row shingle arrays (``build_arr``: docs → (doc_id, shingles))
-    — entirely Catalyst built-ins:
+    """Shared banded-MinHash candidate generation + exact-Jaccard confirm —
+    entirely Catalyst built-ins.  ``build_raw``: docs → raw (doc_id,
+    shingle) rows (duplicates fine — feeds the duplicate-insensitive
+    signature); ``build_arr``: docs → (doc_id, distinct shingle array)
+    (feeds the in-row Jaccard confirm).
 
-    per-row shingle set → per-row banded signature (``_melted_from_arrays``,
-    no shuffle) → ONE bucket groupBy collecting member lists → in-row
-    (a < b) pair enumeration → distinct pairs → exact-Jaccard confirm via
-    array_intersect over the candidate docs' arrays only.
+    raw shingles → banded signature (``_melted_from_raw``: codegen'd
+    hashes, one partial-agg groupBy) → ONE bucket groupBy collecting member
+    lists → in-row (a < b) pair enumeration → distinct pairs →
+    exact-Jaccard confirm via array_intersect over the candidate docs'
+    arrays only.
 
     100-TB shape: the bucket groupBy replaces the all-pairs product; hot
     buckets (empty/boilerplate docs all hashing together) are CAPPED at
@@ -642,8 +677,16 @@ def _lsh_jaccard_pairs(
     global distinct + 3× recomputed signature subtrees + bucket self-join)
     with a 2-shuffle plan — set-identical output (same hashes, same caps,
     same integer Jaccard)."""
-    arr = build_arr(docs)
-    melted = _melted_from_arrays(arr, perms, bands, salt)
+    # spread the corpus before the hash-heavy signature pipeline: the
+    # driver-generated parquet has 1-2 row groups, so without this the
+    # explode + 8-permutation hashing runs on ≤2 of the session's cores
+    # (a row group is the parquet split unit).  The shuffle moves only the
+    # few-MB text column; partition count follows the session parallelism,
+    # not a local constant.
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    melted = _melted_from_raw(build_raw(spread), perms, bands, salt)
     members = (
         melted.groupBy("b", "bucket")
         .agg(F.collect_list("doc_id").alias("ms"))
@@ -667,6 +710,11 @@ def _lsh_jaccard_pairs(
         members.select(F.explode(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+        # pairs feeds three downstream subtrees (candidate-doc semi-join +
+        # two broadcast joins); an eager localCheckpoint evaluates the
+        # signature pipeline ONCE instead of once per subtree (the tiny
+        # pair table is all that is pinned)
+        .localCheckpoint(eager=True)
     )
     return _jaccard_confirm_arrays(docs, build_arr, pairs)
 
@@ -766,7 +814,7 @@ def minhash_lsh_candidates(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _lsh_jaccard_pairs(
-        docs, _doc_shingle_arrays,
+        docs, _doc_shingles_raw, _doc_shingle_arrays,
         MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
     )
 
@@ -774,25 +822,42 @@ def minhash_lsh_candidates(spark, sf_dir):
 QUERIES["minhash_lsh_candidates"] = minhash_lsh_candidates
 
 
-def _doc_char_ngram_arrays(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingles array<string>): per-doc DISTINCT character n-grams
-    as a per-row array (array_distinct in the row — no shuffle; set-identical
-    to the old global distinct because doc_id keys the set)."""
+def _char_ngram_expr(docs: DataFrame, n: int):
     d = docs.select("doc_id", "text")
     ln = F.length("text")
     idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(n)))
+    return d, grams
+
+
+def _doc_char_ngrams_raw(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle): character n-grams WITH per-doc duplicates — for
+    the duplicate-insensitive MinHash signature (see _doc_shingles_raw:
+    index explode + substr above the Generate, no distinct)."""
+    d = docs.select("doc_id", "text")
+    ln = F.length("text")
+    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return d.select("doc_id", "text", F.explode(idx).alias("_i")).select(
+        "doc_id", F.col("text").substr(F.col("_i"), F.lit(n)).alias("shingle")
+    )
+
+
+def _doc_char_ngram_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingles array<string>): per-doc DISTINCT character n-grams
+    as a per-row array (array_distinct in the row — never exploded; feeds
+    the array_intersect Jaccard confirm)."""
+    d, grams = _char_ngram_expr(docs, n)
     return d.select("doc_id", F.array_distinct(grams).alias("shingles"))
 
 
 def _doc_char_ngrams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle): distinct CHARACTER n-grams — per-row substring
-    transform + in-row distinct, exploded (no shuffle)."""
-    return _doc_char_ngram_arrays(docs, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    transform, no shuffle before the distinct."""
+    return _doc_char_ngrams_raw(docs, n).distinct()
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -815,7 +880,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _lsh_jaccard_pairs(
-        docs, lambda d: _doc_char_ngram_arrays(d, NGJ_N),
+        docs,
+        lambda d: _doc_char_ngrams_raw(d, NGJ_N),
+        lambda d: _doc_char_ngram_arrays(d, NGJ_N),
         NGJ_PERMS, NGJ_BANDS, NGJ_BUCKET_CAP, "q"
     ).where(F.col("jaccard_milli") >= NGJ_THRESHOLD_MILLI)
 
@@ -833,9 +900,9 @@ def embedding_cosine_topk(spark, sf_dir):
     tests/test_queries.py against numpy.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    first_id = emb.agg(F.min("vec_id")).collect()[0][0]
-    qvec = emb.where(F.col("vec_id") == first_id).select("embedding")
-    q_lit = F.lit(qvec.collect()[0][0])
+    # one job instead of two (min + fetch): the lexicographically-first row
+    first = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    first_id, q_lit = first[0], F.lit(first[1])
 
     def dot(a, b):
         return F.aggregate(
@@ -847,7 +914,12 @@ def embedding_cosine_topk(spark, sf_dir):
     e = F.col("embedding")
     cos = dot(e, q_lit) / (F.sqrt(dot(e, e)) * F.sqrt(dot(q_lit, q_lit)))
     return (
-        emb.where(F.col("vec_id") != first_id)
+        # spread before the per-row cosine: the higher-order zip_with/
+        # aggregate evaluates interpreted, and the single-row-group input
+        # would otherwise run it on one core (row values are per-row, so
+        # repartitioning cannot change any result)
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        .where(F.col("vec_id") != first_id)
         .select("vec_id", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(20)
@@ -1789,7 +1861,7 @@ def near_dup_clusters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = _lsh_jaccard_pairs(
-        docs, _doc_shingle_arrays,
+        docs, _doc_shingles_raw, _doc_shingle_arrays,
         MINHASH_PERMS, MINHASH_BANDS, MINHASH_BUCKET_CAP, "p"
     ).where(F.col("jaccard_milli") >= CLUSTER_THRESHOLD_MILLI)
     cc = connected_components(pairs, a="doc_a", b="doc_b")
