@@ -38,6 +38,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _keyed_spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit hash repartition on the window/aggregation key at the
+    session's shuffle-partition count.  The following window reuses this
+    exchange (same key, same partition count — no second shuffle); what it
+    buys is SORT parallelism: AQE's coalescing would otherwise merge a
+    small shuffle into a handful of partitions and serialize the per-key
+    sort (measured 2× on the sf1.0 window queries).  Scale-adaptive: the
+    count follows spark.sql.shuffle.partitions, never a local constant."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 # ---------------------------------------------------------------------------
 # O3 — URL filter as pure Catalyst predicates (UrlFilter.scala:36-44):
 # length gate + must-match regex, pushed into the scan.
@@ -73,13 +85,15 @@ def o3_regex_filter(spark, sf_dir):
 def o5_anti_join_dedup(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    # broadcast the probe-key side: the anti join then stays a customer
-    # SCAN (no exchange on either side — the engine's URL-seen shape);
-    # 1.5M bigint keys ≈ 12 MB, far under the broadcast cap, vs two full
-    # shuffles for the sort-merge alternative
-    return customer.join(
-        F.broadcast(orders), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
+    # join strategy deliberately left to the planner: at sf1.0 the probe-key
+    # side (~12 MB of bigints) auto-broadcasts under the 64 MB threshold
+    # (measured equal to a forced broadcast), and at larger scale factors
+    # the size-based fallback to a shuffled join is the right call — a
+    # forced hint would pin the wrong strategy at exactly the scale where
+    # it hurts
+    return customer.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +116,11 @@ def o5_anti_join_dedup(spark, sf_dir):
 def o5_first_discovery_wins(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        _t(spark, sf_dir, "orders")
+        _keyed_spread(
+            _t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_orderdate"),
+            "o_custkey",
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
@@ -171,7 +189,11 @@ def o8_politeness_window_rank(spark, sf_dir):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        _t(spark, sf_dir, "orders")
+        _keyed_spread(
+            _t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+            "o_custkey",
+        )
         .withColumn("rank_in_host", F.row_number().over(w))
         .where(F.col("rank_in_host") <= 3)
         .select("o_custkey", "o_orderkey", "rank_in_host")
@@ -1480,28 +1502,62 @@ def o18_status_merge(spark, sf_dir):
 # Document fingerprinting via WINNOWING (Schleimer/Wilkerson/Aiken's public
 # winnowing scheme): xxhash64 over sliding char 8-grams, keep the minimum of
 # every 4-hash window, distinct per doc.  Near-duplicate documents share
-# fingerprints even under local edits.  Entirely per-row Catalyst array
-# transforms — tokens/grams never leave their row, no shuffle before the
-# final distinct.  Oracle: constructed fixture (oracle_fixtures.build_winnow).
+# fingerprints even under local edits.  Round-6 shape: codegen'd gram
+# hashes over an int-position explode + a per-doc ordered window for the
+# sliding minima (ONE keyed shuffle of (doc_id, pos, hash) rows — see
+# _winnow_positions).  Oracle: constructed fixture
+# (oracle_fixtures.build_winnow).
 # ---------------------------------------------------------------------------
 def doc_fingerprint_winnow(spark, sf_dir):
     from .oracle_fixtures import WINNOW_K, WINNOW_W
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = (
-        f"transform(sequence(0, length(text) - {WINNOW_K}), "
-        f"i -> xxhash64(substr(text, i + 1, {WINNOW_K})))"
+    return (
+        _winnow_positions(docs, WINNOW_K, WINNOW_W)
+        .select("doc_id", "fingerprint")
+        .distinct()
     )
-    wins = (
-        f"transform(sequence(0, size(_grams) - {WINNOW_W}), "
-        f"j -> array_min(slice(_grams, j + 1, {WINNOW_W})))"
+
+
+def _winnow_positions(docs: DataFrame, k: int, w_len: int) -> DataFrame:
+    """(doc_id, j, fingerprint): positional winnowing window minima.
+
+    Round-6 shape: gram positions explode as cheap INTs with the gram
+    hash a flat codegen'd projection ABOVE the Generate (the old per-row
+    ``transform(xxhash64(substr(...)))`` array evaluated interpreted per
+    element — the same ~40× HOF pathology measured on the MinHash
+    signatures — and putting ``array_distinct``/window-min array
+    expressions under an explode re-evaluates them per OUTPUT row).  The
+    sliding w-window minimum is a per-doc ordered window (one keyed
+    shuffle of (doc_id, pos, hash) rows); the gram count derives from
+    length(text), and trailing truncated frames are filtered exactly like
+    the old slice bound.  Output rows identical to the old
+    posexplode-of-array form (same hashes, same minima, same positions);
+    sf1.0 winnow entry: 47 s → 18 s at 32 cores."""
+    d = (
+        docs.where(F.length("text") >= k + w_len - 1)
+        .select(
+            "doc_id",
+            "text",
+            (F.length("text") - (k - 1)).alias("_n"),
+            F.explode(F.expr(f"sequence(0, length(text) - {k})")).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            "_n",
+            "_i",
+            F.xxhash64(F.expr(f"substr(text, _i + 1, {k})")).alias("_g"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, w_len - 1)
     )
     return (
-        docs.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-        .withColumn("_grams", F.expr(grams))
-        .where(F.size("_grams") >= WINNOW_W)
-        .select("doc_id", F.explode(F.array_distinct(F.expr(wins))).alias("fingerprint"))
-        .distinct()
+        d.withColumn("_m", F.min("_g").over(w))
+        .where(F.col("_i") <= F.col("_n") - w_len)
+        .select("doc_id", F.col("_i").alias("j"), F.col("_m").alias("fingerprint"))
     )
 
 
@@ -1540,19 +1596,9 @@ def dup_spans(docs: DataFrame, min_df: int = 2) -> DataFrame:
     from .oracle_fixtures import SPAN_MIN_LEN, WINNOW_K, WINNOW_W
 
     L = WINNOW_W + WINNOW_K - 2  # window at gram j covers chars [j, j+L]
-    grams = (
-        f"transform(sequence(0, length(text) - {WINNOW_K}), "
-        f"i -> xxhash64(substr(text, i + 1, {WINNOW_K})))"
-    )
-    wins = (
-        f"transform(sequence(0, size(_grams) - {WINNOW_W}), "
-        f"j -> array_min(slice(_grams, j + 1, {WINNOW_W})))"
-    )
-    pos = (
-        docs.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-        .withColumn("_grams", F.expr(grams))
-        .select("doc_id", F.posexplode(F.expr(wins)).alias("j", "fingerprint"))
-    )
+    # shared positional-winnowing skeleton (codegen'd gram hashes + per-doc
+    # ordered window — see _winnow_positions for the round-6 plan notes)
+    pos = _winnow_positions(docs, WINNOW_K, WINNOW_W)
     shared = (
         pos.select("doc_id", "fingerprint")
         .distinct()
